@@ -1,0 +1,127 @@
+"""Per-point screen-space attributes (the reference's K5 kernel, jnp-native).
+
+Behavioral reference: GaussianPointCloudRasterisation.py:239-315
+(generate_point_attributes_in_camera_plane). On TPU this stage is a dense,
+fully-vectorized jnp function over ALL N pool slots (no M-compaction: XLA
+wants static shapes, and the dense math is cheap); invisible/invalid points
+are handled downstream with masks. The function is differentiable end-to-end
+— the reference's hand-derived Jacobians (its backward "phase 2",
+GaussianPointCloudRasterisation.py:707-772) are obtained here via jax.vjp.
+
+Feature layout (reference GaussianPointCloudScene.py to_parquet :137-142):
+  feat[0:4]   quaternion xyzw
+  feat[4:7]   log scale
+  feat[7]     pre-sigmoid opacity
+  feat[8:24]  SH coefficients, R channel (band <= 3)
+  feat[24:40] SH G
+  feat[40:56] SH B
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from taichi_3d_gaussian_splatting_tpu.ops import projection as proj
+from taichi_3d_gaussian_splatting_tpu.ops.sh import sh_basis
+from taichi_3d_gaussian_splatting_tpu.ops.transforms import (
+    quaternion_to_rotation_matrix,
+)
+
+NUM_FEATURES = 56
+
+
+class PointAttributes(NamedTuple):
+    """Screen-space attributes, one row per pool slot (all shapes (N, ...))."""
+
+    uv: jnp.ndarray            # (N, 2) pixel coords of the projected center
+    xyz_cam: jnp.ndarray       # (N, 3) camera-frame position (z = depth)
+    cov2d: jnp.ndarray         # (N, 3) projected covariance (a, b, c), unfiltered
+    conic: jnp.ndarray         # (N, 4) filtered inverse cov (a, b, c) + rescale
+    opacity: jnp.ndarray       # (N,)  sigmoid(alpha)
+    color: jnp.ndarray         # (N, 3) SH color along camera->point ray
+    radius: jnp.ndarray        # (N,)  conservative splat radius in pixels
+
+
+def compute_point_attributes(
+    xyz: jnp.ndarray,            # (N, 3)
+    features: jnp.ndarray,       # (N, 56)
+    q_cam: jnp.ndarray,          # (4,) world->camera rotation, xyzw
+    t_cam: jnp.ndarray,          # (3,) world->camera translation
+    K: jnp.ndarray,              # (3, 3)
+    camera_center: jnp.ndarray,  # (3,) camera origin in world frame
+    sh_max_band: int | jnp.ndarray = 3,
+) -> PointAttributes:
+    """Project every pool slot to screen space.
+
+    ``sh_max_band`` progressively masks SH bands like the reference trainer's
+    color_max_sh_band schedule (GaussianPointTrainer.py:168 together with
+    _clear_grad_by_color_max_sh_band, GaussianPointCloudRasterisation.py:
+    1167-1182). Masking the bands in the forward (rather than zeroing grads
+    like the reference) gives the same optimization behavior under jit.
+    """
+    R_cw = quaternion_to_rotation_matrix(q_cam)
+
+    quat = features[:, 0:4]
+    quat = quat / jnp.linalg.norm(quat, axis=-1, keepdims=True)
+    log_scale = features[:, 4:7]
+    alpha_logit = features[:, 7]
+    sh = features[:, 8:56].reshape(-1, 3, 16)
+
+    uv, xyz_cam = proj.project_point(xyz, R_cw, t_cam, K)
+    cov2d_mat = proj.project_covariance(quat, log_scale, R_cw, K, xyz_cam)
+    conic = proj.conic_and_rescale(cov2d_mat)
+    radius = proj.splat_radius(cov2d_mat)
+    cov2d = jnp.stack(
+        [cov2d_mat[..., 0, 0], cov2d_mat[..., 0, 1], cov2d_mat[..., 1, 1]], axis=-1
+    )
+
+    opacity = 1.0 / (1.0 + jnp.exp(-alpha_logit))
+
+    # SH color along the camera->point direction (reference K5 :294-308).
+    direction = xyz - camera_center
+    basis = sh_basis(direction)  # (N, 16)
+    band_mask = _sh_band_mask(sh_max_band, basis.dtype)
+    raw = jnp.einsum("nck,nk->nc", sh, (basis * band_mask))
+    color = 1.0 / (1.0 + jnp.exp(-raw))
+
+    return PointAttributes(
+        uv=uv, xyz_cam=xyz_cam, cov2d=cov2d, conic=conic,
+        opacity=opacity, color=color, radius=radius,
+    )
+
+
+def _sh_band_mask(max_band, dtype):
+    """(16,) mask keeping coefficients of bands <= max_band.
+
+    Works with traced ``max_band`` so the trainer can jit one step function
+    for the whole progressive schedule.
+    """
+    coeff_band = jnp.asarray(
+        [0, 1, 1, 1, 2, 2, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3], dtype=jnp.int32
+    )
+    return (coeff_band <= jnp.asarray(max_band, jnp.int32)).astype(dtype)
+
+
+def frustum_cull_mask(
+    uv: jnp.ndarray,
+    depth: jnp.ndarray,
+    invalid_mask: jnp.ndarray,
+    width: int,
+    height: int,
+    near: float,
+    far: float,
+    tile_size: int,
+    boundary_tiles: int = 3,
+) -> jnp.ndarray:
+    """Visibility mask (the reference's K1, GaussianPointCloudRasterisation.py:31-78).
+
+    Keeps points with near < z < far whose projected center lies within the
+    image padded by ``boundary_tiles`` tiles (BOUNDARY_TILES=3, :26).
+    """
+    pad_u = tile_size * boundary_tiles
+    pad_v = tile_size * boundary_tiles
+    in_depth = (depth > near) & (depth < far)
+    in_u = (uv[:, 0] >= -pad_u) & (uv[:, 0] < width + pad_u)
+    in_v = (uv[:, 1] >= -pad_v) & (uv[:, 1] < height + pad_v)
+    return in_depth & in_u & in_v & jnp.logical_not(invalid_mask)

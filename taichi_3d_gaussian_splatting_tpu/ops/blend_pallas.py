@@ -1,0 +1,453 @@
+"""Pallas TPU tile-blend kernels (forward + backward).
+
+These replace the reference's CUDA tile-cooperative kernels
+(GaussianPointCloudRasterisation.py:318-485 forward, :488-705 backward
+phase 1). The design is TPU-native rather than a translation:
+
+- grid = (num_tiles,), executed sequentially on the TensorCore; per tile the
+  kernel streams 128-point chunks of the depth-sorted key table from HBM
+  into VMEM with async DMA.
+- The Gaussian exponent AND the log(opacity*rescale) offset are evaluated as
+  ONE matmul on the MXU: alpha = exp(monomials(pixel) @ coef(point)), where
+  monomials = [x^2, y^2, xy, x, y, 1, 0, 0] and coef is precomputed per key
+  row (see pack_table).
+- The per-pixel sequential transmittance recurrence is re-expressed as a
+  cumulative product along the 128-lane point axis (log2 steps of
+  roll-and-multiply), with a scalar carry between chunks — the same
+  semantics as the reference's front-to-back loop, including the 1/255
+  skip, the 0.99 clamp and the sticky T < 1e-4 saturation.
+- Color/depth accumulation is a second MXU matmul: acc += w @ [r,g,b,depth].
+- The backward recomputes the forward chunk state (nothing but the final
+  image is saved), uses the prefix-sum identity
+  S_i = g.C_final - g.A_i  (A_i = inclusive prefix of c_j w_j)
+  to get dL/dalpha_i front-to-back — the same algebra as the reference's
+  back-to-front "division trick" (:561-565, :643-657) but in a single
+  forward sweep — and reduces all per-point gradients over the pixel axis
+  with one MXU matmul against the SAME monomial matrix:
+  De = d_exponent^T @ monomials gives every moment needed for d_uv and
+  d_cov2d in closed form.
+
+Table layout, one f32 row of 16 per key slot (pack_table):
+  0..5  exponent coefficients k (alpha = exp(m . k), k5 includes
+        log(rescale * opacity))
+  6..9  r, g, b, depth
+  10..15 u, v, conic_a, conic_b, conic_c, 0
+
+Backward output layout, one f32 row of 16 per key slot:
+  0 d_u, 1 d_v, 2 d_cov_aa, 3 d_cov_ab, 4 d_cov_cc, 5 d_log_opacity,
+  6 d_r, 7 d_g, 8 d_b, 9 |grad_uv| magnitude (densify stat),
+  10 affected-pixel count, 11..15 zero
+(d_cov is w.r.t. the unfiltered 2D covariance, using the reference's conic
+approximation grad_point_probability_density_from_conic_and_rescale,
+utils.py:335-348; rescale is deliberately not differentiated, matching the
+reference's caveat.)
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ALPHA_SKIP_EPS = 1.0 / 255.0
+ALPHA_CLAMP = 0.99
+T_SATURATION_EPS = 1e-4
+
+CHUNK = 128  # point-chunk = lane width
+
+
+def pack_table(uv, conic, opacity, color, depth):
+    """Build the (N, 16) kernel table from raw per-point attributes.
+
+    All inputs dense over pool slots; the caller gathers rows into sorted
+    key order afterwards (one XLA row gather).
+    """
+    u, v = uv[:, 0], uv[:, 1]
+    a, b, c, resc = conic[:, 0], conic[:, 1], conic[:, 2], conic[:, 3]
+    k0 = -0.5 * a
+    k1 = -0.5 * c
+    k2 = -b
+    k3 = a * u + b * v
+    k4 = c * v + b * u
+    k5 = -0.5 * (a * u * u + c * v * v + 2.0 * b * u * v) + jnp.log(
+        jnp.maximum(resc * opacity, 1e-37)
+    )
+    zero = jnp.zeros_like(u)
+    return jnp.stack(
+        [k0, k1, k2, k3, k4, k5, color[:, 0], color[:, 1], color[:, 2],
+         depth, u, v, a, b, c, zero],
+        axis=-1,
+    )
+
+
+def _pixel_monomials(tile: int, tiles_x: int):
+    """Per-tile (tile*tile, 8) monomial matrix [x^2, y^2, xy, x, y, 1, 0, 0]."""
+    px_count = tile * tile
+    t = pl.program_id(0)
+    tu = t % tiles_x
+    tv = t // tiles_x
+    i = jax.lax.broadcasted_iota(jnp.int32, (px_count, 1), 0)
+    x = (tu * tile + i % tile).astype(jnp.float32) + 0.5
+    y = (tv * tile + i // tile).astype(jnp.float32) + 0.5
+    one = jnp.ones_like(x)
+    zero = jnp.zeros_like(x)
+    return jnp.concatenate([x * x, y * y, x * y, x, y, one, zero, zero], axis=1)
+
+
+def _lane_cumprod(x):
+    """Inclusive cumulative product along the last (lane, 128) axis."""
+    n = x.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, len(x.shape) - 1)
+    steps = int(math.log2(n))
+    for s in [1 << k for k in range(steps)]:
+        rolled = pltpu.roll(x, s, axis=len(x.shape) - 1)
+        x = x * jnp.where(lane >= s, rolled, 1.0)
+    return x
+
+
+def _lane_cumsum(x):
+    """Inclusive cumulative sum along the last (lane, 128) axis."""
+    n = x.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, len(x.shape) - 1)
+    steps = int(math.log2(n))
+    for s in [1 << k for k in range(steps)]:
+        rolled = pltpu.roll(x, s, axis=len(x.shape) - 1)
+        x = x + jnp.where(lane >= s, rolled, 0.0)
+    return x
+
+
+def _chunk_state(tab, mono, n_valid, t_run):
+    """Shared fwd/bwd per-chunk recompute: alphas, masks, transmittances."""
+    px_count = mono.shape[0]
+    power = jax.lax.dot_general(
+        mono, tab[:, 0:8], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (PX, CHUNK)
+    alpha_u = jnp.exp(power)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (px_count, CHUNK), 1)
+    in_range = lane < n_valid
+    skip = jnp.logical_or(alpha_u < ALPHA_SKIP_EPS, jnp.logical_not(in_range))
+    a = jnp.where(skip, 0.0, jnp.minimum(alpha_u, ALPHA_CLAMP))
+    om = 1.0 - a
+    p_incl = t_run * _lane_cumprod(om)  # (PX, CHUNK)
+    t_excl = p_incl / om
+    include = jnp.logical_and(jnp.logical_not(skip), p_incl >= T_SATURATION_EPS)
+    w = jnp.where(include, a * t_excl, 0.0)
+    return alpha_u, a, om, p_incl, t_excl, include, w
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _forward_kernel(
+    # scalar prefetch
+    start_ref, end_ref,
+    # inputs
+    table_hbm,
+    # outputs
+    out_ref,
+    # scratch
+    tab_ref, acc_ref, t_ref, sem,
+    *, tile: int, tiles_x: int,
+):
+    px_count = tile * tile
+    t = pl.program_id(0)
+    start = start_ref[t]
+    end = end_ref[t]
+    n = end - start
+    nch = pl.cdiv(n, CHUNK)
+
+    mono = _pixel_monomials(tile, tiles_x)
+
+    acc_ref[:] = jnp.zeros((px_count, 8), jnp.float32)
+    # t_ref columns: 0 = running product over all processed (for saturation
+    # tests), 1 = product over included only (the reported transmittance).
+    t_ref[:] = jnp.ones((px_count, 8), jnp.float32)
+
+    def body(c, live):
+        @pl.when(live)
+        def _():
+            dma = pltpu.make_async_copy(
+                table_hbm.at[pl.ds(start + c * CHUNK, CHUNK), :], tab_ref, sem
+            )
+            dma.start()
+            dma.wait()
+            tab = tab_ref[:]
+            t_run = t_ref[:, 0:1]
+            alpha_u, a, om, p_incl, t_excl, include, w = _chunk_state(
+                tab, mono, n - c * CHUNK, t_run
+            )
+            acc = jax.lax.dot_general(
+                w, tab[:, 6:14], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (PX, 8): [sum w*r, w*g, w*b, w*depth, ...]
+            w_sum = jnp.sum(w, axis=1, keepdims=True)
+            cnt = jnp.sum(include.astype(jnp.float32), axis=1, keepdims=True)
+            acc_ref[:, 0:4] = acc_ref[:, 0:4] + acc[:, 0:4]
+            acc_ref[:, 4:5] = acc_ref[:, 4:5] + w_sum
+            acc_ref[:, 5:6] = acc_ref[:, 5:6] + cnt
+
+            t_ref[:, 0:1] = p_incl[:, CHUNK - 1 : CHUNK]
+            t_fin = jnp.min(
+                jnp.where(include, p_incl, jnp.float32(2.0)), axis=1, keepdims=True
+            )
+            t_ref[:, 1:2] = jnp.minimum(t_ref[:, 1:2], t_fin)
+
+        saturated = jnp.max(t_ref[:, 0:1]) < T_SATURATION_EPS
+        return jnp.logical_and(live, jnp.logical_not(saturated))
+
+    jax.lax.fori_loop(0, nch, body, True)
+
+    out = jnp.concatenate(
+        [acc_ref[:, 0:6], t_ref[:, 1:2], jnp.zeros((px_count, 1), jnp.float32)],
+        axis=1,
+    )
+    out_ref[0] = out
+
+
+def blend_forward(
+    table: jnp.ndarray,        # (cap + CHUNK, 16) sorted-key table
+    tile_start: jnp.ndarray,   # (num_tiles,) int32
+    tile_end: jnp.ndarray,     # (num_tiles,) int32
+    *, tile: int, tiles_x: int, tiles_y: int, interpret: bool = False,
+):
+    """Returns (num_tiles, tile*tile, 8) packed per-pixel outputs:
+    [r, g, b, depth_weighted_sum, weight_sum, include_count, T_final, 0].
+    """
+    num_tiles = tiles_x * tiles_y
+    px_count = tile * tile
+    kernel = functools.partial(_forward_kernel, tile=tile, tiles_x=tiles_x)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, px_count, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((CHUNK, 16), jnp.float32),
+            pltpu.VMEM((px_count, 8), jnp.float32),
+            pltpu.VMEM((px_count, 8), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, px_count, 8), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(tile_start, tile_end, table)
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+
+
+def _backward_kernel(
+    # scalar prefetch
+    start_ref, end_ref,
+    # inputs
+    table_hbm, g_ref, cfin_ref,
+    # outputs
+    dtab_hbm, imggrad_ref,
+    # scratch
+    tab_ref, drow_ref, carry_ref, in_sem, out_sem,
+    *, tile: int, tiles_x: int, extra_info: bool,
+):
+    px_count = tile * tile
+    t = pl.program_id(0)
+    start = start_ref[t]
+    end = end_ref[t]
+    n = end - start
+    nch = pl.cdiv(n, CHUNK)
+
+    mono = _pixel_monomials(tile, tiles_x)
+    g = g_ref[0]        # (PX, 4) d_rgb (4th channel zero)
+    cfin = cfin_ref[0]  # (PX, 4) final pre-background rgb
+    g_cfin = jnp.sum(g * cfin, axis=1, keepdims=True)  # (PX, 1)
+
+    # carry columns: 0 = T_run, 1 = g.A prefix
+    carry_ref[:] = jnp.concatenate(
+        [jnp.ones((px_count, 1), jnp.float32),
+         jnp.zeros((px_count, 7), jnp.float32)], axis=1
+    )
+    imggrad_ref[0] = jnp.zeros((px_count, 2), jnp.float32)
+
+    def body(c, live):
+        @pl.when(jnp.logical_not(live))
+        def _():
+            drow_ref[:] = jnp.zeros((CHUNK, 16), jnp.float32)
+
+        @pl.when(live)
+        def _():
+            dma = pltpu.make_async_copy(
+                table_hbm.at[pl.ds(start + c * CHUNK, CHUNK), :], tab_ref, in_sem
+            )
+            dma.start()
+            dma.wait()
+            tab = tab_ref[:]
+            t_run = carry_ref[:, 0:1]
+            ga_prev = carry_ref[:, 1:2]
+            alpha_u, a, om, p_incl, t_excl, include, w = _chunk_state(
+                tab, mono, n - c * CHUNK, t_run
+            )
+            # g.c per (pixel, point): (PX,4) x (CHUNK,4) -> (PX, CHUNK)
+            gc = jax.lax.dot_general(
+                g, tab[:, 6:10], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            gcw = gc * w
+            ga = ga_prev + _lane_cumsum(gcw)     # inclusive prefix (PX, CHUNK)
+            s_after = g_cfin - ga                # suffix sum over j > i
+            dalpha = jnp.where(include, gc * t_excl - s_after / om, 0.0)
+            de = dalpha * alpha_u                # dL/d_exponent
+
+            # Moment matmul: (CHUNK, 8) = de^T @ mono
+            De = jax.lax.dot_general(
+                de, mono, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            Sxx, Syy, Sxy = De[:, 0], De[:, 1], De[:, 2]
+            Su, Sv, S1 = De[:, 3], De[:, 4], De[:, 5]
+            u = tab[:, 10]
+            v = tab[:, 11]
+            ca = tab[:, 12]
+            cb = tab[:, 13]
+            cc = tab[:, 14]
+            Eu = Su - u * S1   # sum de * dx
+            Ev = Sv - v * S1   # sum de * dy
+            d_u = ca * Eu + cb * Ev
+            d_v = cc * Ev + cb * Eu
+            Sdx2 = Sxx - 2.0 * u * Su + u * u * S1
+            Sdy2 = Syy - 2.0 * v * Sv + v * v * S1
+            Sdxy = Sxy - u * Sv - v * Su + u * v * S1
+            d_caa = 0.5 * (ca * ca * Sdx2 + 2.0 * ca * cb * Sdxy + cb * cb * Sdy2)
+            d_cab = 0.5 * (ca * cb * Sdx2 + (ca * cc + cb * cb) * Sdxy + cb * cc * Sdy2)
+            d_ccc = 0.5 * (cb * cb * Sdx2 + 2.0 * cb * cc * Sdxy + cc * cc * Sdy2)
+            d_logop = S1
+
+            # d_color: (CHUNK, 4) = w^T @ g
+            dcol = jax.lax.dot_general(
+                w, g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+            if extra_info:
+                # per-pixel viewspace-gradient components: de * (Q d)
+                coef_x = jnp.stack(
+                    [jnp.zeros_like(ca), jnp.zeros_like(ca), jnp.zeros_like(ca),
+                     ca, cb, -(ca * u + cb * v), jnp.zeros_like(ca),
+                     jnp.zeros_like(ca)], axis=-1,
+                )  # (CHUNK, 8): a*x + b*y - (a u + b v) = a dx + b dy
+                coef_y = jnp.stack(
+                    [jnp.zeros_like(ca), jnp.zeros_like(ca), jnp.zeros_like(ca),
+                     cb, cc, -(cb * u + cc * v), jnp.zeros_like(ca),
+                     jnp.zeros_like(ca)], axis=-1,
+                )
+                qdx = jax.lax.dot_general(
+                    mono, coef_x, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                qdy = jax.lax.dot_general(
+                    mono, coef_y, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                gx = de * qdx
+                gy = de * qdy
+                mag = jnp.sqrt(gx * gx + gy * gy)   # (PX, CHUNK)
+                mag_per_point = jnp.sum(mag, axis=0)  # (CHUNK,)
+                npix = jnp.sum(include.astype(jnp.float32), axis=0)
+                imggrad_ref[0] = imggrad_ref[0] + jnp.stack(
+                    [jnp.sum(jnp.abs(gx), axis=1), jnp.sum(jnp.abs(gy), axis=1)],
+                    axis=-1,
+                )
+            else:
+                mag_per_point = jnp.zeros((CHUNK,), jnp.float32)
+                npix = jnp.zeros((CHUNK,), jnp.float32)
+
+            zero = jnp.zeros_like(d_u)
+            drows = jnp.stack(
+                [d_u, d_v, d_caa, d_cab, d_ccc, d_logop,
+                 dcol[:, 0], dcol[:, 1], dcol[:, 2],
+                 mag_per_point, npix, zero, zero, zero, zero, zero],
+                axis=-1,
+            )  # (CHUNK, 16)
+            row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 16), 0)
+            drow_ref[:] = jnp.where(row < n - c * CHUNK, drows, 0.0)
+
+            carry_ref[:, 0:1] = p_incl[:, CHUNK - 1 : CHUNK]
+            carry_ref[:, 1:2] = ga[:, CHUNK - 1 : CHUNK]
+
+        out_dma = pltpu.make_async_copy(
+            drow_ref, dtab_hbm.at[pl.ds(start + c * CHUNK, CHUNK), :], out_sem
+        )
+        out_dma.start()
+        out_dma.wait()
+
+        saturated = jnp.max(carry_ref[:, 0:1]) < T_SATURATION_EPS
+        return jnp.logical_and(live, jnp.logical_not(saturated))
+
+    jax.lax.fori_loop(0, nch, body, True)
+
+
+def blend_backward(
+    table: jnp.ndarray,        # (cap + CHUNK, 16)
+    tile_start: jnp.ndarray,
+    tile_end: jnp.ndarray,
+    d_rgb_tiles: jnp.ndarray,  # (num_tiles, px, 4) image cotangent (4th ch 0)
+    cfin_tiles: jnp.ndarray,   # (num_tiles, px, 4) forward rgb output
+    *, tile: int, tiles_x: int, tiles_y: int, extra_info: bool = True,
+    interpret: bool = False,
+):
+    """Returns (d_table (cap + CHUNK, 16), per-pixel |grad_uv| image
+    (num_tiles, px, 2))."""
+    num_tiles = tiles_x * tiles_y
+    px_count = tile * tile
+    cap_pad = table.shape[0]
+    kernel = functools.partial(
+        _backward_kernel, tile=tile, tiles_x=tiles_x, extra_info=extra_info
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, px_count, 4), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, px_count, 4), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, px_count, 2), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((CHUNK, 16), jnp.float32),
+            pltpu.VMEM((CHUNK, 16), jnp.float32),
+            pltpu.VMEM((px_count, 8), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((cap_pad, 16), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, px_count, 2), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(tile_start, tile_end, table, d_rgb_tiles, cfin_tiles)

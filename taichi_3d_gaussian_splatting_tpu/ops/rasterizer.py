@@ -1,0 +1,375 @@
+"""The differentiable tile rasterizer: full pipeline + custom VJP.
+
+Behavioral reference: GaussianPointCloudRasterisation.py:775-1204 (the
+torch.autograd.Function orchestrating K1..K7). TPU-native layout:
+
+  attrs (pure jnp, autodiff)  ->  tile keys (non-diff, sort-based)
+      -> pack + gather sorted table -> Pallas blend fwd  -> image
+  backward: Pallas blend bwd -> per-key grad rows -> inverse-permute gather
+      -> Pallas ragged segment-reduce -> per-point raw-attr grads
+      -> (outside, via jax.vjp of the attrs fn) -> param grads
+
+The custom_vjp boundary is `_blend_core`, whose differentiable input is the
+per-point raw attribute bundle; everything upstream (projection, EWA, SH,
+sigmoid) differentiates with JAX autodiff, replacing the reference's
+hand-derived Jacobians (its backward phase 2, :707-772).
+
+Gradient semantics deliberately matched to the reference:
+- only the rgb image output backpropagates (depth/alpha/count cotangents
+  are ignored, :1025-1163);
+- d_cov2d uses the conic approximation (utils.py:335-348); rescale and the
+  +0.3 low-pass are treated as constants in the blend backward, but the
+  cov2d -> (q, s) chain is exact via autodiff;
+- the alpha clamp at 0.99 is straight-through.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from taichi_3d_gaussian_splatting_tpu.ops import blend_pallas
+from taichi_3d_gaussian_splatting_tpu.ops import tiling
+from taichi_3d_gaussian_splatting_tpu.ops.attributes import (
+    compute_point_attributes,
+    frustum_cull_mask,
+)
+from taichi_3d_gaussian_splatting_tpu.ops.segment_reduce import segment_reduce
+from taichi_3d_gaussian_splatting_tpu.ops.transforms import (
+    inverse_qt,
+)
+
+CHUNK = blend_pallas.CHUNK
+
+
+@dataclass(frozen=True)
+class RasterizerConfig:
+    """Mirrors GaussianPointCloudRasterisationConfig (reference :777-786)
+    plus TPU-specific static sizing knobs."""
+
+    near_plane: float = 0.8
+    far_plane: float = 1000.0
+    depth_to_sort_key_scale: float = 100.0
+    rgb_only: bool = False
+    grad_color_factor: float = 5.0
+    grad_high_order_color_factor: float = 1.0
+    grad_s_factor: float = 0.5
+    grad_q_factor: float = 1.0
+    grad_alpha_factor: float = 20.0
+    # TPU static sizing
+    tile_size: int = 32          # pixels per tile side (reference: 16, CUDA)
+    key_cap: int = 2 ** 21       # static capacity of the tile-key buffer
+    extra_info: bool = True      # densification stats in backward
+    interpret: bool = False      # run Pallas kernels in interpreter mode
+
+
+class Camera(NamedTuple):
+    """Pinhole camera. Frame: x right, y down, z forward (Camera.py:17)."""
+
+    K: jnp.ndarray        # (3, 3) intrinsics
+    width: int
+    height: int
+
+
+class RasterizeOutput(NamedTuple):
+    rgb: jnp.ndarray      # (H, W, 3)
+    depth: jnp.ndarray    # (H, W) alpha-weighted normalized depth
+    alpha: jnp.ndarray    # (H, W) accumulated opacity (1 - T_final)
+    count: jnp.ndarray    # (H, W) number of blended splats per pixel
+
+
+class RawAttrs(NamedTuple):
+    """Differentiable inputs of the blend core, all f32, dense over N."""
+
+    uv: jnp.ndarray       # (N, 2)
+    cov2d: jnp.ndarray    # (N, 3) unfiltered (a, b, c)
+    conic: jnp.ndarray    # (N, 4) filtered inverse + rescale
+    opacity: jnp.ndarray  # (N,)
+    color: jnp.ndarray    # (N, 3)
+    depth: jnp.ndarray    # (N,)
+
+
+class GradStats(NamedTuple):
+    """Densification statistics from the backward pass (the reference's
+    BackwardValidPointHookInput, :806-817), dense over pool slots."""
+
+    grad_uv: jnp.ndarray                   # (N, 2) viewspace position grad
+    magnitude_grad_viewspace: jnp.ndarray  # (N,) sum over pixels of |grad_uv|
+    num_affected_pixels: jnp.ndarray       # (N,)
+    num_overlap_tiles: jnp.ndarray         # (N,)
+    in_camera: jnp.ndarray                 # (N,) bool visibility this frame
+    magnitude_grad_viewspace_on_image: jnp.ndarray  # (H, W, 2)
+
+
+def _tiles_to_image(tiles: jnp.ndarray, tiles_x: int, tiles_y: int, tile: int):
+    """(num_tiles, tile*tile, C) -> (H, W, C)."""
+    c = tiles.shape[-1]
+    img = tiles.reshape(tiles_y, tiles_x, tile, tile, c)
+    return img.transpose(0, 2, 1, 3, 4).reshape(tiles_y * tile, tiles_x * tile, c)
+
+
+def _image_to_tiles(img: jnp.ndarray, tiles_x: int, tiles_y: int, tile: int):
+    c = img.shape[-1]
+    t = img.reshape(tiles_y, tile, tiles_x, tile, c)
+    return t.transpose(0, 2, 1, 3, 4).reshape(tiles_y * tiles_x, tile * tile, c)
+
+
+def _zero_cot(x):
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        return jnp.zeros_like(x)
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp blend core
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _blend_core(raw: RawAttrs, keys: tiling.TileKeys, tile: int,
+                grid_hw: tuple, cfg: RasterizerConfig):
+    out, _ = _blend_core_fwd(raw, keys, tile, grid_hw, cfg)
+    return out
+
+
+def _build_table(raw: RawAttrs, keys: tiling.TileKeys, key_cap: int):
+    table_n = blend_pallas.pack_table(
+        raw.uv, raw.conic, raw.opacity, raw.color, raw.depth
+    )
+    table_sorted = table_n[keys.point_idx]
+    return jnp.pad(table_sorted, ((0, CHUNK), (0, 0)))
+
+
+def _blend_core_fwd(raw: RawAttrs, keys: tiling.TileKeys, tile: int,
+                    grid_hw: tuple, cfg: RasterizerConfig):
+    tiles_x, tiles_y = grid_hw
+    table = _build_table(raw, keys, cfg.key_cap)
+    out_tiles = blend_pallas.blend_forward(
+        table, keys.tile_start, keys.tile_end,
+        tile=tile, tiles_x=tiles_x, tiles_y=tiles_y, interpret=cfg.interpret,
+    )
+    residuals = (raw, keys, table, out_tiles)
+    return out_tiles, residuals
+
+
+def _blend_core_bwd(tile, grid_hw, cfg, residuals, d_out_tiles):
+    raw, keys, table, out_tiles = residuals
+    d_raw, _ = _blend_bwd_impl(
+        raw, keys, table, out_tiles, d_out_tiles[..., 0:3], tile, grid_hw, cfg
+    )
+    return d_raw, jax.tree.map(_zero_cot, keys)
+
+
+def _blend_bwd_impl(raw, keys, table, out_tiles, d_rgb_tiles, tile, grid_hw,
+                    cfg):
+    """Shared by the custom_vjp and the trainer's explicit backward (which
+    also needs the densification statistics)."""
+    tiles_x, tiles_y = grid_hw
+    px = tile * tile
+    num_tiles = tiles_x * tiles_y
+    pad4 = jnp.zeros((num_tiles, px, 1), jnp.float32)
+    g4 = jnp.concatenate([d_rgb_tiles, pad4], axis=-1)
+    cfin4 = jnp.concatenate([out_tiles[..., 0:3], pad4], axis=-1)
+
+    d_table_sorted, imggrad_tiles = blend_pallas.blend_backward(
+        table, keys.tile_start, keys.tile_end, g4, cfin4,
+        tile=tile, tiles_x=tiles_x, tiles_y=tiles_y,
+        extra_info=cfg.extra_info, interpret=cfg.interpret,
+    )
+
+    # sorted-key order -> original-key order -> per-point rows.
+    inv = tiling.inverse_permutation(keys.orig_slot)
+    d_orig = d_table_sorted[:cfg.key_cap][inv]
+    d_orig = jnp.pad(d_orig, ((0, CHUNK), (0, 0)))
+    per_point = segment_reduce(
+        d_orig, keys.offsets, keys.counts, interpret=cfg.interpret
+    )[: raw.uv.shape[0]]
+
+    d_raw = RawAttrs(
+        uv=per_point[:, 0:2],
+        cov2d=per_point[:, 2:5],
+        conic=jnp.zeros_like(raw.conic),
+        opacity=per_point[:, 5] / jnp.maximum(raw.opacity, 1e-12),
+        color=per_point[:, 6:9],
+        depth=jnp.zeros_like(raw.depth),
+    )
+    stats = (per_point[:, 9], per_point[:, 10], imggrad_tiles)
+    return d_raw, stats
+
+
+_blend_core.defvjp(_blend_core_fwd, _blend_core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def compute_raw_attrs(
+    xyz, features, q_pointcloud_camera, t_pointcloud_camera, camera: Camera,
+    sh_max_band=3, point_object_id: Optional[jnp.ndarray] = None,
+):
+    """Project pool slots to screen space; differentiable w.r.t. xyz/features.
+
+    ``q/t_pointcloud_camera`` is the camera (or per-object) pose in the
+    world frame, shape (4,)/(3,) or (K, 4)/(K, 3) with ``point_object_id``
+    selecting per-point poses (reference Input dataclass :788-804).
+    """
+    if point_object_id is not None and q_pointcloud_camera.ndim == 2:
+        q_pc = q_pointcloud_camera[point_object_id]
+        t_pc = t_pointcloud_camera[point_object_id]
+    else:
+        q_pc = q_pointcloud_camera.reshape(4)
+        t_pc = t_pointcloud_camera.reshape(3)
+    q_cw, t_cw = inverse_qt(q_pc, t_pc)
+
+    if q_cw.ndim == 1:
+        attrs = compute_point_attributes(
+            xyz, features, q_cw, t_cw, camera.K, t_pc, sh_max_band
+        )
+    else:
+        attrs = jax.vmap(
+            lambda x, f, q, t, c: compute_point_attributes(
+                x[None], f[None], q, t, camera.K, c, sh_max_band
+            )
+        )(xyz, features, q_cw, t_cw, t_pc)
+        attrs = jax.tree.map(lambda a: a.reshape((xyz.shape[0],) + a.shape[2:]),
+                             attrs)
+    raw = RawAttrs(
+        uv=attrs.uv, cov2d=attrs.cov2d, conic=attrs.conic,
+        opacity=attrs.opacity, color=attrs.color, depth=attrs.xyz_cam[:, 2],
+    )
+    return raw, attrs.radius
+
+
+def build_keys(raw: RawAttrs, radius, invalid_mask, camera: Camera,
+               cfg: RasterizerConfig):
+    """Non-differentiable tiling stage (applies stop_gradient internally)."""
+    sg = jax.lax.stop_gradient
+    visible = frustum_cull_mask(
+        sg(raw.uv), sg(raw.depth), invalid_mask, camera.width, camera.height,
+        cfg.near_plane, cfg.far_plane, cfg.tile_size,
+    )
+    keys = tiling.build_tile_keys(
+        sg(raw.uv), sg(raw.depth), sg(radius), visible,
+        camera.width, camera.height, cfg.tile_size, cfg.key_cap,
+        cfg.depth_to_sort_key_scale,
+    )
+    return keys, visible
+
+
+def _assemble(out_tiles, camera: Camera, cfg: RasterizerConfig):
+    tile = cfg.tile_size
+    tiles_x = camera.width // tile
+    tiles_y = camera.height // tile
+    img = _tiles_to_image(out_tiles, tiles_x, tiles_y, tile)
+    rgb = img[..., 0:3]
+    depth = img[..., 3] / jnp.maximum(img[..., 4], 1e-6)
+    alpha = 1.0 - img[..., 6]
+    count = img[..., 5]
+    return RasterizeOutput(rgb=rgb, depth=depth, alpha=alpha, count=count)
+
+
+def rasterize(
+    xyz: jnp.ndarray,
+    features: jnp.ndarray,
+    invalid_mask: jnp.ndarray,
+    q_pointcloud_camera: jnp.ndarray,
+    t_pointcloud_camera: jnp.ndarray,
+    camera: Camera,
+    cfg: RasterizerConfig,
+    sh_max_band=3,
+    point_object_id: Optional[jnp.ndarray] = None,
+) -> RasterizeOutput:
+    """Differentiable rendering of the scene into a camera view.
+
+    Equivalent of GaussianPointCloudRasterisation.forward (:1184-1204);
+    requires camera.width/height divisible by cfg.tile_size.
+    """
+    assert camera.width % cfg.tile_size == 0
+    assert camera.height % cfg.tile_size == 0
+    raw, radius = compute_raw_attrs(
+        xyz, features, q_pointcloud_camera, t_pointcloud_camera, camera,
+        sh_max_band, point_object_id,
+    )
+    keys, _ = build_keys(raw, radius, invalid_mask, camera, cfg)
+    tile = cfg.tile_size
+    grid_hw = (camera.width // tile, camera.height // tile)
+    out_tiles = _blend_core(raw, keys, tile, grid_hw, cfg)
+    return _assemble(out_tiles, camera, cfg)
+
+
+# ---------------------------------------------------------------------------
+# explicit forward/backward (trainer path: exposes densification statistics,
+# the reference's backward_valid_point_hook contract :1127-1142)
+# ---------------------------------------------------------------------------
+
+
+class RenderContext(NamedTuple):
+    raw: RawAttrs
+    keys: tiling.TileKeys
+    table: jnp.ndarray
+    out_tiles: jnp.ndarray
+    visible: jnp.ndarray
+
+
+def rasterize_fwd_ctx(
+    xyz, features, invalid_mask, q_pointcloud_camera, t_pointcloud_camera,
+    camera: Camera, cfg: RasterizerConfig, sh_max_band=3,
+    point_object_id=None,
+):
+    """Forward pass returning the output plus residuals for rasterize_bwd."""
+
+    def attrs_fn(x, f):
+        return compute_raw_attrs(
+            x, f, q_pointcloud_camera, t_pointcloud_camera, camera,
+            sh_max_band, point_object_id,
+        )
+
+    (raw, radius), attrs_vjp = jax.vjp(attrs_fn, xyz, features)
+    keys, visible = build_keys(raw, radius, invalid_mask, camera, cfg)
+    tile = cfg.tile_size
+    grid_hw = (camera.width // tile, camera.height // tile)
+    out_tiles, (_, _, table, _) = _blend_core_fwd(raw, keys, tile, grid_hw, cfg)
+    out = _assemble(out_tiles, camera, cfg)
+    ctx = RenderContext(raw=raw, keys=keys, table=table, out_tiles=out_tiles,
+                        visible=visible)
+    return out, ctx, attrs_vjp
+
+
+def rasterize_bwd(
+    ctx: RenderContext, attrs_vjp, d_rgb: jnp.ndarray, camera: Camera,
+    cfg: RasterizerConfig,
+):
+    """Manual backward from the image cotangent to parameter gradients.
+
+    Returns ((d_xyz, d_features), GradStats). Matches the gradient semantics
+    of the reference backward (:1025-1163) except that grad-factor scaling
+    and SH-band masking are applied by the trainer (optax transform / the
+    forward band mask respectively).
+    """
+    tile = cfg.tile_size
+    tiles_x = camera.width // tile
+    tiles_y = camera.height // tile
+    d_rgb_tiles = _image_to_tiles(d_rgb, tiles_x, tiles_y, tile)
+    d_raw, (mag, npix, imggrad_tiles) = _blend_bwd_impl(
+        ctx.raw, ctx.keys, ctx.table, ctx.out_tiles, d_rgb_tiles, tile,
+        (tiles_x, tiles_y), cfg,
+    )
+    d_xyz, d_features = attrs_vjp((d_raw, jnp.zeros_like(ctx.raw.depth)))
+    stats = GradStats(
+        grad_uv=d_raw.uv,
+        magnitude_grad_viewspace=mag,
+        num_affected_pixels=npix,
+        num_overlap_tiles=ctx.keys.counts,
+        in_camera=ctx.visible,
+        magnitude_grad_viewspace_on_image=_tiles_to_image(
+            imggrad_tiles, tiles_x, tiles_y, tile
+        ),
+    )
+    return (d_xyz, d_features), stats

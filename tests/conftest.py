@@ -1,0 +1,23 @@
+"""Test configuration: force an 8-device CPU mesh.
+
+The session environment pins JAX_PLATFORMS=axon (real TPU through a tunnel)
+and a sitecustomize imports jax at interpreter startup, so plain env-var
+overrides are too late — use jax.config instead, which works until a
+backend is initialized. The driver validates multi-chip sharding the same
+way (xla_force_host_platform_device_count); real-TPU behavior is exercised
+by bench.py and the TPU smoke scripts, not the unit suite.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+# Keep f32 matmuls exact in oracle comparisons.
+jax.config.update("jax_default_matmul_precision", "highest")

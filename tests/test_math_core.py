@@ -1,0 +1,204 @@
+"""Math-core unit tests vs scipy/numpy oracles.
+
+Ports the oracle strategy of the reference tests
+(tests/GaussianPoint3D_test.py: EWA vs numpy composition, quat->R vs
+scipy.spatial.transform; tests/utils_test.py: quaternion/SE3 vs scipy,
+2D Gaussian pdf + gradients vs scipy.stats).
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation
+from scipy.stats import multivariate_normal
+
+from taichi_3d_gaussian_splatting_tpu.ops import projection as proj
+from taichi_3d_gaussian_splatting_tpu.ops import transforms as tf
+from taichi_3d_gaussian_splatting_tpu.ops.sh import sh_basis
+
+
+RNG = np.random.default_rng(42)
+
+
+def random_quats(n):
+    q = RNG.normal(size=(n, 4))
+    return (q / np.linalg.norm(q, axis=-1, keepdims=True)).astype(np.float32)
+
+
+class TestQuaternions:
+    def test_quat_to_rotation_matrix_vs_scipy(self):
+        q = random_quats(100)
+        ours = np.asarray(tf.quaternion_to_rotation_matrix(jnp.asarray(q)))
+        ref = Rotation.from_quat(q).as_matrix()  # scipy uses xyzw too
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_rotation_matrix_to_quat_roundtrip(self):
+        q = random_quats(200)
+        R = tf.quaternion_to_rotation_matrix(jnp.asarray(q))
+        q2 = np.asarray(tf.rotation_matrix_to_quaternion(R))
+        # q and -q are the same rotation
+        sign = np.sign(np.sum(q2 * q, axis=-1, keepdims=True))
+        np.testing.assert_allclose(q2 * sign, q, atol=1e-4)
+
+    def test_quaternion_rotate_vs_scipy(self):
+        q = random_quats(50)
+        v = RNG.normal(size=(50, 3)).astype(np.float32)
+        ours = np.asarray(tf.quaternion_rotate(jnp.asarray(q), jnp.asarray(v)))
+        ref = Rotation.from_quat(q).apply(v)
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_quaternion_multiply_vs_scipy(self):
+        a, b = random_quats(30), random_quats(30)
+        ours = np.asarray(tf.quaternion_multiply(jnp.asarray(a), jnp.asarray(b)))
+        ref = (Rotation.from_quat(a) * Rotation.from_quat(b)).as_quat()
+        sign = np.sign(np.sum(ours * ref, axis=-1, keepdims=True))
+        np.testing.assert_allclose(ours * sign, ref, atol=1e-5)
+
+
+class TestSE3:
+    def test_inverse_se3(self):
+        q = random_quats(20)
+        t = RNG.normal(size=(20, 3)).astype(np.float32)
+        T = tf.se3_from_qt(jnp.asarray(q), jnp.asarray(t))
+        Tinv = tf.inverse_se3(T)
+        eye = np.asarray(jnp.einsum("nij,njk->nik", T, Tinv))
+        np.testing.assert_allclose(eye, np.broadcast_to(np.eye(4), (20, 4, 4)),
+                                   atol=1e-5)
+
+    def test_inverse_qt_matches_matrix_inverse(self):
+        q = random_quats(20)
+        t = RNG.normal(size=(20, 3)).astype(np.float32)
+        qi, ti = tf.inverse_qt(jnp.asarray(q), jnp.asarray(t))
+        Ti = tf.se3_from_qt(qi, ti)
+        ref = tf.inverse_se3(tf.se3_from_qt(jnp.asarray(q), jnp.asarray(t)))
+        np.testing.assert_allclose(np.asarray(Ti), np.asarray(ref), atol=1e-5)
+
+    def test_se3_to_qt_roundtrip(self):
+        q = random_quats(20)
+        t = RNG.normal(size=(20, 3)).astype(np.float32)
+        T = tf.se3_from_qt(jnp.asarray(q), jnp.asarray(t))
+        q2, t2 = tf.se3_to_qt(T)
+        sign = np.sign(np.sum(np.asarray(q2) * q, axis=-1, keepdims=True))
+        np.testing.assert_allclose(np.asarray(q2) * sign, q, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(t2), t, atol=1e-5)
+
+
+class TestProjection:
+    """EWA covariance projection vs direct numpy composition
+    (reference tests/GaussianPoint3D_test.py:12-67)."""
+
+    def test_covariance_3d(self):
+        q = random_quats(10)
+        s = RNG.normal(size=(10, 3)).astype(np.float32) * 0.5
+        ours = np.asarray(proj.covariance_3d(jnp.asarray(q), jnp.asarray(s)))
+        R = Rotation.from_quat(q).as_matrix()
+        S = np.exp(s)
+        for i in range(10):
+            ref = R[i] @ np.diag(S[i] ** 2) @ R[i].T
+            np.testing.assert_allclose(ours[i], ref, rtol=1e-3, atol=1e-5)
+
+    def test_project_covariance_vs_numpy(self):
+        K = np.array([[500.0, 0, 320], [0, 500, 240], [0, 0, 1]], np.float32)
+        q = random_quats(20)
+        s = (RNG.normal(size=(20, 3)) * 0.3).astype(np.float32)
+        q_cam = random_quats(1)[0]
+        R_cw = Rotation.from_quat(q_cam).as_matrix().astype(np.float32)
+        xyz_cam = np.stack(
+            [RNG.uniform(-1, 1, 20), RNG.uniform(-1, 1, 20),
+             RNG.uniform(2, 8, 20)], -1
+        ).astype(np.float32)
+        ours = np.asarray(
+            proj.project_covariance(
+                jnp.asarray(q), jnp.asarray(s), jnp.asarray(R_cw),
+                jnp.asarray(K), jnp.asarray(xyz_cam),
+            )
+        )
+        for i in range(20):
+            Sigma = (
+                Rotation.from_quat(q[i]).as_matrix()
+                @ np.diag(np.exp(s[i]) ** 2)
+                @ Rotation.from_quat(q[i]).as_matrix().T
+            )
+            x, y, z = xyz_cam[i]
+            J = np.array(
+                [[K[0, 0] / z, 0, -K[0, 0] * x / z**2],
+                 [0, K[1, 1] / z, -K[1, 1] * y / z**2]]
+            )
+            ref = J @ R_cw @ Sigma @ R_cw.T @ J.T
+            np.testing.assert_allclose(ours[i], ref, rtol=1e-2, atol=1e-5)
+
+    def test_conic_and_rescale(self):
+        cov = np.array([[[4.0, 1.0], [1.0, 3.0]]], np.float32)
+        out = np.asarray(proj.conic_and_rescale(jnp.asarray(cov)))[0]
+        filt = cov[0] + np.eye(2) * 0.3
+        inv = np.linalg.inv(filt)
+        np.testing.assert_allclose(out[:3], [inv[0, 0], inv[0, 1], inv[1, 1]],
+                                   rtol=1e-5)
+        resc = np.sqrt(np.linalg.det(cov[0]) / np.linalg.det(filt))
+        np.testing.assert_allclose(out[3], resc, rtol=1e-5)
+
+    def test_splat_radius_is_3_sigma_max(self):
+        cov = np.array([[[4.0, 1.0], [1.0, 3.0]]], np.float32)
+        lam = np.linalg.eigvalsh(cov[0]).max()
+        r = np.asarray(proj.splat_radius(jnp.asarray(cov)))[0]
+        np.testing.assert_allclose(r, 3 * np.sqrt(lam), rtol=1e-5)
+
+
+class Test2DGaussianPdf:
+    """Conic-form pdf vs scipy.stats (reference tests/utils_test.py:286-348).
+
+    The production kernel evaluates exp(-0.5 d^T Q d) * rescale with Q the
+    filtered inverse covariance; with rescale folded out this equals the
+    unnormalized scipy pdf of the filtered covariance.
+    """
+
+    def test_pdf_matches_scipy(self):
+        cov = np.array([[2.0, 0.5], [0.5, 1.5]], np.float32)
+        mean = np.array([3.0, -1.0], np.float32)
+        conic = np.asarray(
+            proj.conic_and_rescale(jnp.asarray(cov[None] - np.eye(2) * 0.3))
+        )[0]
+        # build cov2d such that filtered == cov: pass cov - 0.3*I above
+        xs = RNG.normal(size=(100, 2)).astype(np.float32) * 2 + mean
+        d = xs - mean
+        expo = (
+            -0.5 * (d[:, 0] ** 2 * conic[0] + d[:, 1] ** 2 * conic[2])
+            - d[:, 0] * d[:, 1] * conic[1]
+        )
+        ours = np.exp(expo)
+        rv = multivariate_normal(mean, cov)
+        ref = rv.pdf(xs) / rv.pdf(mean)
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+class TestSHBasis:
+    def test_dc_term(self):
+        d = jnp.asarray([[0.0, 0.0, 1.0]])
+        b = np.asarray(sh_basis(d))[0]
+        np.testing.assert_allclose(b[0], 0.28209479177387814, rtol=1e-6)
+
+    def test_band1_is_linear_in_direction(self):
+        d = np.array([[0.3, -0.5, 0.8]], np.float32)
+        dn = d / np.linalg.norm(d)
+        b = np.asarray(sh_basis(jnp.asarray(d)))[0]
+        c = 0.48860251190291987
+        np.testing.assert_allclose(
+            b[1:4], [-c * dn[0, 1], c * dn[0, 2], -c * dn[0, 0]], rtol=1e-5
+        )
+
+    def test_band2_band3_values(self):
+        # independent evaluation of the real SH basis via scipy's sph_harm
+        # is overkill; check a few closed-form identities instead.
+        d = jnp.asarray([[0.0, 0.0, 1.0]])
+        b = np.asarray(sh_basis(d))[0]
+        # at +z: all terms with x or y factors vanish
+        np.testing.assert_allclose(b[4], 0, atol=1e-7)   # xy
+        np.testing.assert_allclose(b[6], 0.94617469575755997 - 0.31539156525251999,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(b[12], 0.3731763325901154 * 2.0, rtol=1e-6)
+
+    def test_normalization_invariance(self):
+        d = np.array([[1.0, 2.0, -0.5]], np.float32)
+        b1 = np.asarray(sh_basis(jnp.asarray(d)))
+        b2 = np.asarray(sh_basis(jnp.asarray(d * 7.3)))
+        np.testing.assert_allclose(b1, b2, atol=1e-6)
