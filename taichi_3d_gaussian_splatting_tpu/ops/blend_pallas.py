@@ -34,13 +34,14 @@ Table layout, one f32 row of 16 per key slot (pack_table):
   10..15 u, v, conic_a, conic_b, conic_c, 0
 
 Backward output layout, one f32 row of 16 per key slot:
-  0 d_u, 1 d_v, 2 d_cov_aa, 3 d_cov_ab, 4 d_cov_cc, 5 d_log_opacity,
-  6 d_r, 7 d_g, 8 d_b, 9 |grad_uv| magnitude (densify stat),
-  10 affected-pixel count, 11..15 zero
-(d_cov is w.r.t. the unfiltered 2D covariance, using the reference's conic
-approximation grad_point_probability_density_from_conic_and_rescale,
-utils.py:335-348; rescale is deliberately not differentiated, matching the
-reference's caveat.)
+  0 d_u, 1 d_v, 2 d_conic_a, 3 d_conic_b, 4 d_conic_c,
+  5 d_log(rescale*opacity), 6 d_r, 7 d_g, 8 d_b,
+  9 |grad_uv| magnitude (densify stat), 10 affected-pixel count, 11..15 zero
+(conic gradients are EXACT; the conic -> cov2d chain, including the +0.3
+low-pass and the rescale factor, is differentiated by JAX autodiff outside
+the kernel — an accuracy improvement over the reference, which approximates
+d_cov2d by the filtered conic and never differentiates rescale,
+utils.py:335-348.)
 """
 from __future__ import annotations
 
@@ -59,39 +60,56 @@ T_SATURATION_EPS = 1e-4
 CHUNK = 128  # point-chunk = lane width
 
 
-def pack_table(uv, conic, opacity, color, depth):
-    """Build the (N, 16) kernel table from raw per-point attributes.
+def pack_raw_columns(uv, conic, opacity, color, depth):
+    """Stack per-point raw attributes into one (N, 16) array so the sorted
+    key order can be realized with a single XLA row gather."""
+    zero = jnp.zeros_like(opacity)
+    return jnp.stack(
+        [uv[:, 0], uv[:, 1], conic[:, 0], conic[:, 1], conic[:, 2],
+         conic[:, 3], opacity, color[:, 0], color[:, 1], color[:, 2],
+         depth, zero, zero, zero, zero, zero],
+        axis=-1,
+    )
 
-    All inputs dense over pool slots; the caller gathers rows into sorted
-    key order afterwards (one XLA row gather).
+
+def finalize_table(gathered, tile_of_key, tiles_x: int, tile: int):
+    """Per-key table with exponent coefficients in TILE-LOCAL coordinates.
+
+    Using tile-local pixel/center coordinates keeps the expanded quadratic
+    numerically exact in f32: with global pixel coords the a*x^2 - 2*a*u*x
+    cancellation loses ~|u|^2 * 1e-7 of absolute exponent precision, which
+    is catastrophic at 1000-px image widths. Locally |u| <= radius + tile,
+    and the error is bounded by ~(3 sigma/sigma)^2 * 1e-7.
     """
-    u, v = uv[:, 0], uv[:, 1]
-    a, b, c, resc = conic[:, 0], conic[:, 1], conic[:, 2], conic[:, 3]
+    u_g, v_g = gathered[:, 0], gathered[:, 1]
+    a, b, c = gathered[:, 2], gathered[:, 3], gathered[:, 4]
+    resc, op = gathered[:, 5], gathered[:, 6]
+    cx = ((tile_of_key % tiles_x) * tile).astype(jnp.float32)
+    cy = ((tile_of_key // tiles_x) * tile).astype(jnp.float32)
+    u = u_g - cx
+    v = v_g - cy
     k0 = -0.5 * a
     k1 = -0.5 * c
     k2 = -b
     k3 = a * u + b * v
     k4 = c * v + b * u
     k5 = -0.5 * (a * u * u + c * v * v + 2.0 * b * u * v) + jnp.log(
-        jnp.maximum(resc * opacity, 1e-37)
+        jnp.maximum(resc * op, 1e-37)
     )
     zero = jnp.zeros_like(u)
     return jnp.stack(
-        [k0, k1, k2, k3, k4, k5, color[:, 0], color[:, 1], color[:, 2],
-         depth, u, v, a, b, c, zero],
+        [k0, k1, k2, k3, k4, k5, gathered[:, 7], gathered[:, 8],
+         gathered[:, 9], gathered[:, 10], u, v, a, b, c, zero],
         axis=-1,
     )
 
 
 def _pixel_monomials(tile: int, tiles_x: int):
-    """Per-tile (tile*tile, 8) monomial matrix [x^2, y^2, xy, x, y, 1, 0, 0]."""
+    """(tile*tile, 8) tile-LOCAL monomial matrix [x^2, y^2, xy, x, y, 1, 0, 0]."""
     px_count = tile * tile
-    t = pl.program_id(0)
-    tu = t % tiles_x
-    tv = t // tiles_x
     i = jax.lax.broadcasted_iota(jnp.int32, (px_count, 1), 0)
-    x = (tu * tile + i % tile).astype(jnp.float32) + 0.5
-    y = (tv * tile + i // tile).astype(jnp.float32) + 0.5
+    x = (i % tile).astype(jnp.float32) + 0.5
+    y = (i // tile).astype(jnp.float32) + 0.5
     one = jnp.ones_like(x)
     zero = jnp.zeros_like(x)
     return jnp.concatenate([x * x, y * y, x * y, x, y, one, zero, zero], axis=1)
@@ -225,7 +243,7 @@ def blend_forward(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, px_count, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
@@ -327,13 +345,20 @@ def _backward_kernel(
             Ev = Sv - v * S1   # sum de * dy
             d_u = ca * Eu + cb * Ev
             d_v = cc * Ev + cb * Eu
+            # EXACT conic gradients (improvement over the reference, which
+            # approximates d_cov2d by the filtered conic and drops the
+            # rescale term, utils.py:335-348): the exponent is
+            # e = -0.5 (a dx^2 + c dy^2) - b dx dy + log(resc*op), so
+            # de/da = -0.5 sum de dx^2 etc. The conic -> cov2d chain
+            # (incl. the +0.3 low-pass and rescale) is then differentiated
+            # exactly by JAX autodiff outside the kernel.
             Sdx2 = Sxx - 2.0 * u * Su + u * u * S1
             Sdy2 = Syy - 2.0 * v * Sv + v * v * S1
             Sdxy = Sxy - u * Sv - v * Su + u * v * S1
-            d_caa = 0.5 * (ca * ca * Sdx2 + 2.0 * ca * cb * Sdxy + cb * cb * Sdy2)
-            d_cab = 0.5 * (ca * cb * Sdx2 + (ca * cc + cb * cb) * Sdxy + cb * cc * Sdy2)
-            d_ccc = 0.5 * (cb * cb * Sdx2 + 2.0 * cb * cc * Sdxy + cc * cc * Sdy2)
-            d_logop = S1
+            d_ca = -0.5 * Sdx2
+            d_cb = -Sdxy
+            d_cc = -0.5 * Sdy2
+            d_logop = S1   # also d/d log(rescale): split outside
 
             # d_color: (CHUNK, 4) = w^T @ g
             dcol = jax.lax.dot_general(
@@ -376,7 +401,7 @@ def _backward_kernel(
 
             zero = jnp.zeros_like(d_u)
             drows = jnp.stack(
-                [d_u, d_v, d_caa, d_cab, d_ccc, d_logop,
+                [d_u, d_v, d_ca, d_cb, d_cc, d_logop,
                  dcol[:, 0], dcol[:, 1], dcol[:, 2],
                  mag_per_point, npix, zero, zero, zero, zero, zero],
                 axis=-1,
@@ -420,14 +445,14 @@ def blend_backward(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, px_count, 4), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, px_count, 4), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, px_count, 2), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ),

@@ -137,18 +137,20 @@ def _blend_core(raw: RawAttrs, keys: tiling.TileKeys, tile: int,
     return out
 
 
-def _build_table(raw: RawAttrs, keys: tiling.TileKeys, key_cap: int):
-    table_n = blend_pallas.pack_table(
+def _build_table(raw: RawAttrs, keys: tiling.TileKeys, tiles_x: int,
+                 tile: int):
+    raw_n = blend_pallas.pack_raw_columns(
         raw.uv, raw.conic, raw.opacity, raw.color, raw.depth
     )
-    table_sorted = table_n[keys.point_idx]
-    return jnp.pad(table_sorted, ((0, CHUNK), (0, 0)))
+    gathered = raw_n[keys.point_idx]
+    table = blend_pallas.finalize_table(gathered, keys.tile_id, tiles_x, tile)
+    return jnp.pad(table, ((0, CHUNK), (0, 0)))
 
 
 def _blend_core_fwd(raw: RawAttrs, keys: tiling.TileKeys, tile: int,
                     grid_hw: tuple, cfg: RasterizerConfig):
     tiles_x, tiles_y = grid_hw
-    table = _build_table(raw, keys, cfg.key_cap)
+    table = _build_table(raw, keys, tiles_x, tile)
     out_tiles = blend_pallas.blend_forward(
         table, keys.tile_start, keys.tile_end,
         tile=tile, tiles_x=tiles_x, tiles_y=tiles_y, interpret=cfg.interpret,
@@ -182,19 +184,29 @@ def _blend_bwd_impl(raw, keys, table, out_tiles, d_rgb_tiles, tile, grid_hw,
         extra_info=cfg.extra_info, interpret=cfg.interpret,
     )
 
-    # sorted-key order -> original-key order -> per-point rows.
+    # sorted-key order -> original-key order -> per-point rows. Slots beyond
+    # the true key count were never written by any tile (uninitialized
+    # output memory) — zero them so the reduction matmul can't be poisoned.
     inv = tiling.inverse_permutation(keys.orig_slot)
     d_orig = d_table_sorted[:cfg.key_cap][inv]
+    slot = jnp.arange(cfg.key_cap, dtype=jnp.int32)
+    d_orig = jnp.where((slot < keys.total)[:, None], d_orig, 0.0)
     d_orig = jnp.pad(d_orig, ((0, CHUNK), (0, 0)))
     per_point = segment_reduce(
         d_orig, keys.offsets, keys.counts, interpret=cfg.interpret
     )[: raw.uv.shape[0]]
 
+    # Split d_log(rescale*opacity) into the two exact cotangents.
+    d_logro = per_point[:, 5]
     d_raw = RawAttrs(
         uv=per_point[:, 0:2],
-        cov2d=per_point[:, 2:5],
-        conic=jnp.zeros_like(raw.conic),
-        opacity=per_point[:, 5] / jnp.maximum(raw.opacity, 1e-12),
+        cov2d=jnp.zeros_like(raw.cov2d),
+        conic=jnp.concatenate(
+            [per_point[:, 2:5],
+             (d_logro / jnp.maximum(raw.conic[:, 3], 1e-12))[:, None]],
+            axis=-1,
+        ),
+        opacity=d_logro / jnp.maximum(raw.opacity, 1e-12),
         color=per_point[:, 6:9],
         depth=jnp.zeros_like(raw.depth),
     )

@@ -90,7 +90,7 @@ def segment_reduce(
         in_specs=[
             pl.BlockSpec((1, POINT_BLOCK, 2), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, POINT_BLOCK, 16), lambda b, *_: (b, 0, 0),

@@ -1,0 +1,222 @@
+"""Pipeline integration tests: Pallas path vs the dense jnp oracle.
+
+Ports the reference test strategy (tests/GaussianPointCloudRasterisation_test.py):
+tile-range unit checks, forward allclose, gradient checks against an
+independent implementation (here: jax.grad of the dense oracle renderer).
+Pallas kernels run in interpreter mode on CPU.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from taichi_3d_gaussian_splatting_tpu.ops import tiling
+from taichi_3d_gaussian_splatting_tpu.ops.blend_reference import render_reference
+from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import (
+    Camera,
+    RasterizerConfig,
+    rasterize,
+    rasterize_bwd,
+    rasterize_fwd_ctx,
+)
+
+RNG = np.random.default_rng(7)
+
+
+def make_scene(n=200, seed=7):
+    rng = np.random.default_rng(seed)
+    xyz = np.stack(
+        [rng.uniform(-1.5, 1.5, n), rng.uniform(-1.5, 1.5, n),
+         rng.uniform(2.0, 8.0, n)], axis=-1
+    ).astype(np.float32)
+    feats = np.zeros((n, 56), np.float32)
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    feats[:, 0:4] = q / np.linalg.norm(q, axis=1, keepdims=True)
+    feats[:, 4:7] = rng.uniform(-3.5, -1.5, (n, 3))  # log scales
+    feats[:, 7] = rng.uniform(-1.0, 3.0, n)          # opacity logit
+    feats[:, 8:] = rng.normal(size=(n, 48)) * 0.3
+    invalid = np.zeros((n,), bool)
+    invalid[: n // 20] = True  # a few invalid slots like the pool padding
+    return jnp.asarray(xyz), jnp.asarray(feats), jnp.asarray(invalid)
+
+
+def make_camera(w=64, h=64):
+    K = jnp.asarray(
+        [[60.0, 0.0, w / 2], [0.0, 60.0, h / 2], [0.0, 0.0, 1.0]], jnp.float32
+    )
+    return Camera(K=K, width=w, height=h)
+
+
+# identity camera pose: camera at origin looking down +z
+Q_ID = jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32)
+T_ID = jnp.asarray([0.0, 0.0, 0.0], jnp.float32)
+
+CFG = RasterizerConfig(tile_size=32, key_cap=4096, interpret=True)
+
+
+class TestTiling:
+    def test_bbox_and_counts_vs_bruteforce(self):
+        n = 100
+        uv = jnp.asarray(RNG.uniform(-30, 90, (n, 2)).astype(np.float32))
+        radius = jnp.asarray(RNG.uniform(0.0, 40.0, n).astype(np.float32))
+        w = h = 64
+        tile = 32
+        bbox = tiling.tile_bbox(uv, radius, w, h, tile)
+        for i in range(n):
+            r = max(float(radius[i]), 1.0)
+            min_u = max(0.0, float(uv[i, 0]) - r)
+            max_u = float(uv[i, 0]) + r
+            min_v = max(0.0, float(uv[i, 1]) - r)
+            max_v = float(uv[i, 1]) + r
+            mtu = min(int(min_u // tile), w // tile)
+            xtu = min(max(int(max_u // tile) + 1, mtu + 1), w // tile)
+            mtv = min(int(min_v // tile), h // tile)
+            xtv = min(max(int(max_v // tile) + 1, mtv + 1), h // tile)
+            assert bbox.min_u[i] == mtu and bbox.max_u[i] == xtu
+            assert bbox.min_v[i] == mtv and bbox.max_v[i] == xtv
+
+    def test_keys_cover_exactly_the_bbox_tiles(self):
+        n = 50
+        uv = jnp.asarray(RNG.uniform(0, 64, (n, 2)).astype(np.float32))
+        radius = jnp.asarray(RNG.uniform(1.0, 30.0, n).astype(np.float32))
+        depth = jnp.asarray(RNG.uniform(1.0, 10.0, n).astype(np.float32))
+        visible = jnp.asarray(RNG.random(n) > 0.2)
+        w = h = 64
+        tile = 32
+        keys = tiling.build_tile_keys(
+            uv, depth, radius, visible, w, h, tile, key_cap=1024
+        )
+        # brute-force expected (tile -> set of point ids)
+        bbox = tiling.tile_bbox(uv, radius, w, h, tile)
+        tiles_u = w // tile
+        expected = {t: set() for t in range(tiles_u * (h // tile))}
+        for i in range(n):
+            if not bool(visible[i]):
+                continue
+            for tu in range(int(bbox.min_u[i]), int(bbox.max_u[i])):
+                for tv in range(int(bbox.min_v[i]), int(bbox.max_v[i])):
+                    expected[tu + tv * tiles_u].add(i)
+        for t in expected:
+            s, e = int(keys.tile_start[t]), int(keys.tile_end[t])
+            got = set(np.asarray(keys.point_idx[s:e]).tolist())
+            assert got == expected[t], f"tile {t}"
+            # depth-sorted within tile
+            d = np.asarray(depth)[np.asarray(keys.point_idx[s:e])]
+            dq = (d * 1024).astype(np.int32)
+            assert np.all(np.diff(dq) >= 0)
+
+    def test_inverse_permutation(self):
+        slots = jnp.asarray(RNG.permutation(256).astype(np.int32))
+        inv = tiling.inverse_permutation(slots)
+        np.testing.assert_array_equal(
+            np.asarray(slots)[np.asarray(inv)], np.arange(256)
+        )
+
+
+class TestForward:
+    def test_matches_oracle(self):
+        xyz, feats, invalid = make_scene()
+        cam = make_camera()
+        out = rasterize(xyz, feats, invalid, Q_ID, T_ID, cam, CFG)
+        rgb_ref, depth_ref, alpha_ref, count_ref = render_reference(
+            xyz, feats, invalid, Q_ID, T_ID, cam, CFG
+        )
+        np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(rgb_ref),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out.alpha), np.asarray(alpha_ref),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out.depth), np.asarray(depth_ref),
+                                   atol=5e-4)
+        np.testing.assert_array_equal(np.asarray(out.count),
+                                      np.asarray(count_ref))
+
+    def test_empty_scene(self):
+        xyz, feats, _ = make_scene(64)
+        invalid = jnp.ones((64,), bool)
+        cam = make_camera()
+        out = rasterize(xyz, feats, invalid, Q_ID, T_ID, cam, CFG)
+        assert np.all(np.asarray(out.rgb) == 0)
+        assert np.all(np.asarray(out.alpha) == 0)
+
+    def test_nonidentity_pose(self):
+        xyz, feats, invalid = make_scene(150, seed=3)
+        cam = make_camera()
+        q = jnp.asarray([0.05, -0.1, 0.02, 0.99], jnp.float32)
+        q = q / jnp.linalg.norm(q)
+        t = jnp.asarray([0.2, -0.1, -0.5], jnp.float32)
+        out = rasterize(xyz, feats, invalid, q, t, cam, CFG)
+        rgb_ref, *_ = render_reference(xyz, feats, invalid, q, t, cam, CFG)
+        np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(rgb_ref),
+                                   atol=1e-4)
+
+    def test_saturation_path(self):
+        # many opaque splats on top of each other -> early termination
+        n = 300
+        rng = np.random.default_rng(11)
+        xyz = np.stack(
+            [rng.uniform(-0.1, 0.1, n), rng.uniform(-0.1, 0.1, n),
+             rng.uniform(2.0, 3.0, n)], -1
+        ).astype(np.float32)
+        feats = np.zeros((n, 56), np.float32)
+        feats[:, 3] = 1.0
+        feats[:, 4:7] = -0.5
+        feats[:, 7] = 8.0  # nearly opaque
+        feats[:, 8] = rng.normal(size=n)
+        xyz, feats = jnp.asarray(xyz), jnp.asarray(feats)
+        invalid = jnp.zeros((n,), bool)
+        cam = make_camera()
+        out = rasterize(xyz, feats, invalid, Q_ID, T_ID, cam, CFG)
+        rgb_ref, _, alpha_ref, count_ref = render_reference(
+            xyz, feats, invalid, Q_ID, T_ID, cam, CFG
+        )
+        np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(rgb_ref),
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(out.count),
+                                      np.asarray(count_ref))
+        assert np.asarray(out.alpha).max() > 0.999  # saturated somewhere
+
+
+class TestGradients:
+    def test_custom_vjp_matches_oracle_autodiff(self):
+        xyz, feats, invalid = make_scene(120, seed=5)
+        cam = make_camera()
+        gproj = jnp.asarray(
+            np.random.default_rng(0).normal(size=(64, 64, 3)).astype(np.float32)
+        )
+
+        def loss_prod(x, f):
+            out = rasterize(x, f, invalid, Q_ID, T_ID, cam, CFG)
+            return jnp.sum(out.rgb * gproj)
+
+        def loss_ref(x, f):
+            rgb, *_ = render_reference(x, f, invalid, Q_ID, T_ID, cam, CFG)
+            return jnp.sum(rgb * gproj)
+
+        gx, gf = jax.grad(loss_prod, argnums=(0, 1))(xyz, feats)
+        gx_r, gf_r = jax.grad(loss_ref, argnums=(0, 1))(xyz, feats)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_r),
+                                   atol=5e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gf_r),
+                                   atol=5e-4, rtol=1e-3)
+
+    def test_explicit_bwd_matches_custom_vjp(self):
+        xyz, feats, invalid = make_scene(100, seed=9)
+        cam = make_camera()
+        g = jnp.ones((64, 64, 3), jnp.float32) * 0.5
+
+        def loss(x, f):
+            out = rasterize(x, f, invalid, Q_ID, T_ID, cam, CFG)
+            return jnp.sum(out.rgb * g)
+
+        gx, gf = jax.grad(loss, argnums=(0, 1))(xyz, feats)
+
+        out, ctx, vjp = rasterize_fwd_ctx(
+            xyz, feats, invalid, Q_ID, T_ID, cam, CFG
+        )
+        (gx2, gf2), stats = rasterize_bwd(ctx, vjp, g, cam, CFG)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx2), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gf2), atol=1e-6)
+        # stats sanity
+        assert np.asarray(stats.num_affected_pixels).max() > 0
+        assert np.asarray(stats.magnitude_grad_viewspace).max() > 0
+        assert stats.magnitude_grad_viewspace_on_image.shape == (64, 64, 2)
