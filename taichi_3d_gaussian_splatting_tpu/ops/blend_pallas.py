@@ -4,44 +4,43 @@ These replace the reference's CUDA tile-cooperative kernels
 (GaussianPointCloudRasterisation.py:318-485 forward, :488-705 backward
 phase 1). The design is TPU-native rather than a translation:
 
-- grid = (num_tiles,), executed sequentially on the TensorCore; per tile the
-  kernel streams 128-point chunks of the depth-sorted key table from HBM
-  into VMEM with async DMA.
-- The Gaussian exponent AND the log(opacity*rescale) offset are evaluated as
-  ONE matmul on the MXU: alpha = exp(monomials(pixel) @ coef(point)), where
-  monomials = [x^2, y^2, xy, x, y, 1, 0, 0] and coef is precomputed per key
-  row (see pack_table).
+- grid = (num_tiles,); per tile the kernel streams 128-key chunks of the
+  depth-sorted key table from HBM into VMEM with async DMA. The table is
+  struct-of-arrays (16 attribute rows x cap_pad key lanes) and every tile's
+  range starts at a 128-aligned lane offset (tiling.py pads the layout), so
+  each DMA is a (16, 128) window at an aligned offset — the only slice
+  shape Mosaic accepts for narrow attribute data.
+- The Gaussian exponent AND the log(opacity*rescale) offset are evaluated
+  as ONE matmul on the MXU: alpha = exp(monomials(pixel) @ coef(key)), with
+  monomials = [x^2, y^2, xy, x, y, 1, 0, 0] in tile-local coordinates.
 - The per-pixel sequential transmittance recurrence is re-expressed as a
-  cumulative product along the 128-lane point axis (log2 steps of
-  roll-and-multiply), with a scalar carry between chunks — the same
-  semantics as the reference's front-to-back loop, including the 1/255
-  skip, the 0.99 clamp and the sticky T < 1e-4 saturation.
-- Color/depth accumulation is a second MXU matmul: acc += w @ [r,g,b,depth].
-- The backward recomputes the forward chunk state (nothing but the final
-  image is saved), uses the prefix-sum identity
-  S_i = g.C_final - g.A_i  (A_i = inclusive prefix of c_j w_j)
-  to get dL/dalpha_i front-to-back — the same algebra as the reference's
-  back-to-front "division trick" (:561-565, :643-657) but in a single
-  forward sweep — and reduces all per-point gradients over the pixel axis
-  with one MXU matmul against the SAME monomial matrix:
-  De = d_exponent^T @ monomials gives every moment needed for d_uv and
-  d_cov2d in closed form.
+  cumulative product along the 128-lane key axis (log2 roll-multiply
+  steps) with a per-pixel carry between chunks — semantics identical to
+  the reference's front-to-back loop, including the 1/255 skip, the 0.99
+  clamp and the sticky T < 1e-4 saturation.
+- Color/depth accumulation is a second MXU matmul: acc += w @ [r,g,b,d]^T.
+- The backward recomputes the forward chunk state (only the final image is
+  saved), uses the prefix identity S_i = g.C_final - g.A_i (A_i inclusive
+  prefix of (g.c_j) w_j) to get dL/dalpha_i in a single front-to-back
+  sweep — same algebra as the reference's back-to-front "division trick"
+  (:561-565, :643-657) — and reduces every per-key gradient over the pixel
+  axis with one MXU matmul against the same monomial matrix.
 
-Table layout, one f32 row of 16 per key slot (pack_table):
-  0..5  exponent coefficients k (alpha = exp(m . k), k5 includes
-        log(rescale * opacity))
-  6..9  r, g, b, depth
-  10..15 u, v, conic_a, conic_b, conic_c, 0
+Table layout: (16, cap_pad) f32, one lane per key slot:
+  rows 0..5  exponent coefficients (alpha = exp(m . k); k5 includes
+             log(rescale * opacity), tile-local coordinates)
+  rows 6..9  r, g, b, depth
+  rows 10..14 u_local, v_local, conic_a, conic_b, conic_c;  row 15 zero
 
-Backward output layout, one f32 row of 16 per key slot:
+Backward output (16, cap_pad): rows
   0 d_u, 1 d_v, 2 d_conic_a, 3 d_conic_b, 4 d_conic_c,
-  5 d_log(rescale*opacity), 6 d_r, 7 d_g, 8 d_b,
-  9 |grad_uv| magnitude (densify stat), 10 affected-pixel count, 11..15 zero
-(conic gradients are EXACT; the conic -> cov2d chain, including the +0.3
+  5 d_log(rescale*opacity), 6 d_r, 7 d_g, 8 d_b, 9 zero,
+  10 |grad_uv| magnitude (densify stat), 11 affected-pixel count,
+  12..15 zero.
+(conic gradients are EXACT; the conic -> cov2d chain, incl. the +0.3
 low-pass and the rescale factor, is differentiated by JAX autodiff outside
 the kernel — an accuracy improvement over the reference, which approximates
-d_cov2d by the filtered conic and never differentiates rescale,
-utils.py:335-348.)
+d_cov2d by the filtered conic, utils.py:335-348.)
 """
 from __future__ import annotations
 
@@ -57,7 +56,7 @@ ALPHA_SKIP_EPS = 1.0 / 255.0
 ALPHA_CLAMP = 0.99
 T_SATURATION_EPS = 1e-4
 
-CHUNK = 128  # point-chunk = lane width
+CHUNK = 128  # key-chunk = lane width; tiling.CHUNK must match
 
 
 def pack_raw_columns(uv, conic, opacity, color, depth):
@@ -73,17 +72,17 @@ def pack_raw_columns(uv, conic, opacity, color, depth):
 
 
 def finalize_table(gathered, tile_of_key, tiles_x: int, tile: int):
-    """Per-key table with exponent coefficients in TILE-LOCAL coordinates.
+    """(cap_pad, 16) gathered raw rows -> (16, cap_pad) SoA kernel table.
 
-    Using tile-local pixel/center coordinates keeps the expanded quadratic
-    numerically exact in f32: with global pixel coords the a*x^2 - 2*a*u*x
-    cancellation loses ~|u|^2 * 1e-7 of absolute exponent precision, which
-    is catastrophic at 1000-px image widths. Locally |u| <= radius + tile,
-    and the error is bounded by ~(3 sigma/sigma)^2 * 1e-7.
+    Exponent coefficients use TILE-LOCAL coordinates: with global pixel
+    coords the expanded quadratic a*x^2 - 2*a*u*x cancellation loses
+    ~|u|^2 * 1e-7 of absolute exponent precision — catastrophic at 1000-px
+    image widths. Locally the error is bounded by ~(3 sigma/sigma)^2 * 1e-7.
     """
-    u_g, v_g = gathered[:, 0], gathered[:, 1]
-    a, b, c = gathered[:, 2], gathered[:, 3], gathered[:, 4]
-    resc, op = gathered[:, 5], gathered[:, 6]
+    g = jnp.where(jnp.isfinite(gathered), gathered, 0.0)
+    u_g, v_g = g[:, 0], g[:, 1]
+    a, b, c = g[:, 2], g[:, 3], g[:, 4]
+    resc, op = g[:, 5], g[:, 6]
     cx = ((tile_of_key % tiles_x) * tile).astype(jnp.float32)
     cy = ((tile_of_key // tiles_x) * tile).astype(jnp.float32)
     u = u_g - cx
@@ -98,14 +97,14 @@ def finalize_table(gathered, tile_of_key, tiles_x: int, tile: int):
     )
     zero = jnp.zeros_like(u)
     return jnp.stack(
-        [k0, k1, k2, k3, k4, k5, gathered[:, 7], gathered[:, 8],
-         gathered[:, 9], gathered[:, 10], u, v, a, b, c, zero],
-        axis=-1,
+        [k0, k1, k2, k3, k4, k5, g[:, 7], g[:, 8], g[:, 9], g[:, 10],
+         u, v, a, b, c, zero],
+        axis=0,
     )
 
 
-def _pixel_monomials(tile: int, tiles_x: int):
-    """(tile*tile, 8) tile-LOCAL monomial matrix [x^2, y^2, xy, x, y, 1, 0, 0]."""
+def _pixel_monomials(tile: int):
+    """(tile*tile, 8) tile-LOCAL monomials [x^2, y^2, xy, x, y, 1, 0, 0]."""
     px_count = tile * tile
     i = jax.lax.broadcasted_iota(jnp.int32, (px_count, 1), 0)
     x = (i % tile).astype(jnp.float32) + 0.5
@@ -115,42 +114,39 @@ def _pixel_monomials(tile: int, tiles_x: int):
     return jnp.concatenate([x * x, y * y, x * y, x, y, one, zero, zero], axis=1)
 
 
-def _lane_cumprod(x):
-    """Inclusive cumulative product along the last (lane, 128) axis."""
+def _lane_scan(x, op_mul: bool):
+    """Inclusive cumulative product/sum along the last (lane, 128) axis."""
     n = x.shape[-1]
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, len(x.shape) - 1)
-    steps = int(math.log2(n))
-    for s in [1 << k for k in range(steps)]:
-        rolled = pltpu.roll(x, s, axis=len(x.shape) - 1)
-        x = x * jnp.where(lane >= s, rolled, 1.0)
-    return x
-
-
-def _lane_cumsum(x):
-    """Inclusive cumulative sum along the last (lane, 128) axis."""
-    n = x.shape[-1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, len(x.shape) - 1)
-    steps = int(math.log2(n))
-    for s in [1 << k for k in range(steps)]:
-        rolled = pltpu.roll(x, s, axis=len(x.shape) - 1)
-        x = x + jnp.where(lane >= s, rolled, 0.0)
+    fill = 1.0 if op_mul else 0.0
+    for s in [1 << k for k in range(int(math.log2(n)))]:
+        rolled = jnp.where(lane >= s, pltpu.roll(x, s, axis=len(x.shape) - 1),
+                           fill)
+        x = x * rolled if op_mul else x + rolled
     return x
 
 
 def _chunk_state(tab, mono, n_valid, t_run):
-    """Shared fwd/bwd per-chunk recompute: alphas, masks, transmittances."""
+    """Shared fwd/bwd per-chunk recompute: alphas, masks, transmittances.
+
+    tab: (16, CHUNK) SoA chunk; mono: (PX, 8); n_valid: lanes < this are
+    real keys of the current tile; t_run: (PX, 1) carried transmittance.
+    """
     px_count = mono.shape[0]
     power = jax.lax.dot_general(
-        mono, tab[:, 0:8], (((1,), (1,)), ((), ())),
+        mono, tab[0:8, :], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (PX, CHUNK)
     alpha_u = jnp.exp(power)
     lane = jax.lax.broadcasted_iota(jnp.int32, (px_count, CHUNK), 1)
     in_range = lane < n_valid
-    skip = jnp.logical_or(alpha_u < ALPHA_SKIP_EPS, jnp.logical_not(in_range))
+    skip = jnp.logical_or(
+        jnp.logical_not(alpha_u >= ALPHA_SKIP_EPS),  # catches NaN too
+        jnp.logical_not(in_range),
+    )
     a = jnp.where(skip, 0.0, jnp.minimum(alpha_u, ALPHA_CLAMP))
     om = 1.0 - a
-    p_incl = t_run * _lane_cumprod(om)  # (PX, CHUNK)
+    p_incl = t_run * _lane_scan(om, op_mul=True)  # (PX, CHUNK)
     t_excl = p_incl / om
     include = jnp.logical_and(jnp.logical_not(skip), p_incl >= T_SATURATION_EPS)
     w = jnp.where(include, a * t_excl, 0.0)
@@ -171,7 +167,7 @@ def _forward_kernel(
     out_ref,
     # scratch
     tab_ref, acc_ref, t_ref, sem,
-    *, tile: int, tiles_x: int,
+    *, tile: int,
 ):
     px_count = tile * tile
     t = pl.program_id(0)
@@ -180,18 +176,18 @@ def _forward_kernel(
     n = end - start
     nch = pl.cdiv(n, CHUNK)
 
-    mono = _pixel_monomials(tile, tiles_x)
+    mono = _pixel_monomials(tile)
 
     acc_ref[:] = jnp.zeros((px_count, 8), jnp.float32)
-    # t_ref columns: 0 = running product over all processed (for saturation
-    # tests), 1 = product over included only (the reported transmittance).
+    # t_ref columns: 0 = running product over all processed (saturation
+    # tests), 1 = product over included only (reported transmittance).
     t_ref[:] = jnp.ones((px_count, 8), jnp.float32)
 
     def body(c, live):
         @pl.when(live)
         def _():
             dma = pltpu.make_async_copy(
-                table_hbm.at[pl.ds(start + c * CHUNK, CHUNK), :], tab_ref, sem
+                table_hbm.at[:, pl.ds(start + c * CHUNK, CHUNK)], tab_ref, sem
             )
             dma.start()
             dma.wait()
@@ -201,18 +197,19 @@ def _forward_kernel(
                 tab, mono, n - c * CHUNK, t_run
             )
             acc = jax.lax.dot_general(
-                w, tab[:, 6:14], (((1,), (0,)), ((), ())),
+                w, tab[6:10, :], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (PX, 8): [sum w*r, w*g, w*b, w*depth, ...]
+            )  # (PX, 4): [sum w*r, w*g, w*b, w*depth]
             w_sum = jnp.sum(w, axis=1, keepdims=True)
             cnt = jnp.sum(include.astype(jnp.float32), axis=1, keepdims=True)
-            acc_ref[:, 0:4] = acc_ref[:, 0:4] + acc[:, 0:4]
+            acc_ref[:, 0:4] = acc_ref[:, 0:4] + acc
             acc_ref[:, 4:5] = acc_ref[:, 4:5] + w_sum
             acc_ref[:, 5:6] = acc_ref[:, 5:6] + cnt
 
             t_ref[:, 0:1] = p_incl[:, CHUNK - 1 : CHUNK]
             t_fin = jnp.min(
-                jnp.where(include, p_incl, jnp.float32(2.0)), axis=1, keepdims=True
+                jnp.where(include, p_incl, jnp.float32(2.0)), axis=1,
+                keepdims=True,
             )
             t_ref[:, 1:2] = jnp.minimum(t_ref[:, 1:2], t_fin)
 
@@ -229,8 +226,8 @@ def _forward_kernel(
 
 
 def blend_forward(
-    table: jnp.ndarray,        # (cap + CHUNK, 16) sorted-key table
-    tile_start: jnp.ndarray,   # (num_tiles,) int32
+    table: jnp.ndarray,        # (16, cap_pad) SoA key table
+    tile_start: jnp.ndarray,   # (num_tiles,) int32, CHUNK-aligned
     tile_end: jnp.ndarray,     # (num_tiles,) int32
     *, tile: int, tiles_x: int, tiles_y: int, interpret: bool = False,
 ):
@@ -239,16 +236,16 @@ def blend_forward(
     """
     num_tiles = tiles_x * tiles_y
     px_count = tile * tile
-    kernel = functools.partial(_forward_kernel, tile=tile, tiles_x=tiles_x)
+    kernel = functools.partial(_forward_kernel, tile=tile)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(
             (1, px_count, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((CHUNK, 16), jnp.float32),
+            pltpu.VMEM((16, CHUNK), jnp.float32),
             pltpu.VMEM((px_count, 8), jnp.float32),
             pltpu.VMEM((px_count, 8), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
@@ -279,7 +276,7 @@ def _backward_kernel(
     dtab_hbm, imggrad_ref,
     # scratch
     tab_ref, drow_ref, carry_ref, in_sem, out_sem,
-    *, tile: int, tiles_x: int, extra_info: bool,
+    *, tile: int, extra_info: bool,
 ):
     px_count = tile * tile
     t = pl.program_id(0)
@@ -288,7 +285,7 @@ def _backward_kernel(
     n = end - start
     nch = pl.cdiv(n, CHUNK)
 
-    mono = _pixel_monomials(tile, tiles_x)
+    mono = _pixel_monomials(tile)
     g = g_ref[0]        # (PX, 4) d_rgb (4th channel zero)
     cfin = cfin_ref[0]  # (PX, 4) final pre-background rgb
     g_cfin = jnp.sum(g * cfin, axis=1, keepdims=True)  # (PX, 1)
@@ -296,19 +293,20 @@ def _backward_kernel(
     # carry columns: 0 = T_run, 1 = g.A prefix
     carry_ref[:] = jnp.concatenate(
         [jnp.ones((px_count, 1), jnp.float32),
-         jnp.zeros((px_count, 7), jnp.float32)], axis=1
+         jnp.zeros((px_count, 7), jnp.float32)], axis=1,
     )
     imggrad_ref[0] = jnp.zeros((px_count, 2), jnp.float32)
 
     def body(c, live):
         @pl.when(jnp.logical_not(live))
         def _():
-            drow_ref[:] = jnp.zeros((CHUNK, 16), jnp.float32)
+            drow_ref[:] = jnp.zeros((16, CHUNK), jnp.float32)
 
         @pl.when(live)
         def _():
             dma = pltpu.make_async_copy(
-                table_hbm.at[pl.ds(start + c * CHUNK, CHUNK), :], tab_ref, in_sem
+                table_hbm.at[:, pl.ds(start + c * CHUNK, CHUNK)], tab_ref,
+                in_sem,
             )
             dma.start()
             dma.wait()
@@ -318,102 +316,96 @@ def _backward_kernel(
             alpha_u, a, om, p_incl, t_excl, include, w = _chunk_state(
                 tab, mono, n - c * CHUNK, t_run
             )
-            # g.c per (pixel, point): (PX,4) x (CHUNK,4) -> (PX, CHUNK)
+            # g.c per (pixel, key): (PX,4) x (4,CHUNK) -> (PX, CHUNK)
             gc = jax.lax.dot_general(
-                g, tab[:, 6:10], (((1,), (1,)), ((), ())),
+                g, tab[6:10, :], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             gcw = gc * w
-            ga = ga_prev + _lane_cumsum(gcw)     # inclusive prefix (PX, CHUNK)
-            s_after = g_cfin - ga                # suffix sum over j > i
+            ga = ga_prev + _lane_scan(gcw, op_mul=False)  # inclusive prefix
+            s_after = g_cfin - ga
             dalpha = jnp.where(include, gc * t_excl - s_after / om, 0.0)
-            de = dalpha * alpha_u                # dL/d_exponent
+            de = dalpha * alpha_u  # dL/d_exponent, (PX, CHUNK)
 
-            # Moment matmul: (CHUNK, 8) = de^T @ mono
+            # Moments: (8, CHUNK) = mono^T @ de — every pixel-reduction the
+            # per-key gradients need, in one MXU op.
             De = jax.lax.dot_general(
-                de, mono, (((0,), (0,)), ((), ())),
+                mono, de, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            Sxx, Syy, Sxy = De[:, 0], De[:, 1], De[:, 2]
-            Su, Sv, S1 = De[:, 3], De[:, 4], De[:, 5]
-            u = tab[:, 10]
-            v = tab[:, 11]
-            ca = tab[:, 12]
-            cb = tab[:, 13]
-            cc = tab[:, 14]
+            Sxx, Syy, Sxy = De[0:1, :], De[1:2, :], De[2:3, :]
+            Su, Sv, S1 = De[3:4, :], De[4:5, :], De[5:6, :]
+            u = tab[10:11, :]
+            v = tab[11:12, :]
+            ca = tab[12:13, :]
+            cb = tab[13:14, :]
+            cc = tab[14:15, :]
             Eu = Su - u * S1   # sum de * dx
             Ev = Sv - v * S1   # sum de * dy
             d_u = ca * Eu + cb * Ev
             d_v = cc * Ev + cb * Eu
-            # EXACT conic gradients (improvement over the reference, which
-            # approximates d_cov2d by the filtered conic and drops the
-            # rescale term, utils.py:335-348): the exponent is
-            # e = -0.5 (a dx^2 + c dy^2) - b dx dy + log(resc*op), so
-            # de/da = -0.5 sum de dx^2 etc. The conic -> cov2d chain
-            # (incl. the +0.3 low-pass and rescale) is then differentiated
-            # exactly by JAX autodiff outside the kernel.
+            # EXACT conic gradients: e = -0.5 (a dx^2 + c dy^2) - b dx dy
             Sdx2 = Sxx - 2.0 * u * Su + u * u * S1
             Sdy2 = Syy - 2.0 * v * Sv + v * v * S1
             Sdxy = Sxy - u * Sv - v * Su + u * v * S1
             d_ca = -0.5 * Sdx2
             d_cb = -Sdxy
             d_cc = -0.5 * Sdy2
-            d_logop = S1   # also d/d log(rescale): split outside
+            d_logop = S1
 
-            # d_color: (CHUNK, 4) = w^T @ g
+            # d_color rows: (4, CHUNK) = g^T @ w
             dcol = jax.lax.dot_general(
-                w, g, (((0,), (0,)), ((), ())),
+                g, w, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
 
             if extra_info:
-                # per-pixel viewspace-gradient components: de * (Q d)
-                coef_x = jnp.stack(
-                    [jnp.zeros_like(ca), jnp.zeros_like(ca), jnp.zeros_like(ca),
-                     ca, cb, -(ca * u + cb * v), jnp.zeros_like(ca),
-                     jnp.zeros_like(ca)], axis=-1,
-                )  # (CHUNK, 8): a*x + b*y - (a u + b v) = a dx + b dy
-                coef_y = jnp.stack(
-                    [jnp.zeros_like(ca), jnp.zeros_like(ca), jnp.zeros_like(ca),
-                     cb, cc, -(cb * u + cc * v), jnp.zeros_like(ca),
-                     jnp.zeros_like(ca)], axis=-1,
+                zeros_c = jnp.zeros_like(ca)
+                coef_x = jnp.concatenate(
+                    [zeros_c, zeros_c, zeros_c, ca, cb, -(ca * u + cb * v),
+                     zeros_c, zeros_c], axis=0,
+                )  # (8, CHUNK): a dx + b dy in monomial basis
+                coef_y = jnp.concatenate(
+                    [zeros_c, zeros_c, zeros_c, cb, cc, -(cb * u + cc * v),
+                     zeros_c, zeros_c], axis=0,
                 )
                 qdx = jax.lax.dot_general(
-                    mono, coef_x, (((1,), (1,)), ((), ())),
+                    mono, coef_x, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
                 qdy = jax.lax.dot_general(
-                    mono, coef_y, (((1,), (1,)), ((), ())),
+                    mono, coef_y, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
                 gx = de * qdx
                 gy = de * qdy
-                mag = jnp.sqrt(gx * gx + gy * gy)   # (PX, CHUNK)
-                mag_per_point = jnp.sum(mag, axis=0)  # (CHUNK,)
-                npix = jnp.sum(include.astype(jnp.float32), axis=0)
-                imggrad_ref[0] = imggrad_ref[0] + jnp.stack(
-                    [jnp.sum(jnp.abs(gx), axis=1), jnp.sum(jnp.abs(gy), axis=1)],
-                    axis=-1,
+                mag = jnp.sqrt(gx * gx + gy * gy)        # (PX, CHUNK)
+                mag_per_key = jnp.sum(mag, axis=0, keepdims=True)  # (1, CHUNK)
+                npix = jnp.sum(include.astype(jnp.float32), axis=0,
+                               keepdims=True)
+                imggrad_ref[0] = imggrad_ref[0] + jnp.concatenate(
+                    [jnp.sum(jnp.abs(gx), axis=1, keepdims=True),
+                     jnp.sum(jnp.abs(gy), axis=1, keepdims=True)], axis=1,
                 )
             else:
-                mag_per_point = jnp.zeros((CHUNK,), jnp.float32)
-                npix = jnp.zeros((CHUNK,), jnp.float32)
+                mag_per_key = jnp.zeros((1, CHUNK), jnp.float32)
+                npix = jnp.zeros((1, CHUNK), jnp.float32)
 
-            zero = jnp.zeros_like(d_u)
-            drows = jnp.stack(
+            zrow = jnp.zeros((1, CHUNK), jnp.float32)
+            drows = jnp.concatenate(
                 [d_u, d_v, d_ca, d_cb, d_cc, d_logop,
-                 dcol[:, 0], dcol[:, 1], dcol[:, 2],
-                 mag_per_point, npix, zero, zero, zero, zero, zero],
-                axis=-1,
-            )  # (CHUNK, 16)
-            row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 16), 0)
-            drow_ref[:] = jnp.where(row < n - c * CHUNK, drows, 0.0)
+                 dcol,  # rows 6..9 (row 9 = sum w * g[:,3] = 0)
+                 mag_per_key, npix, zrow, zrow, zrow, zrow],
+                axis=0,
+            )  # (16, CHUNK)
+            lane16 = jax.lax.broadcasted_iota(jnp.int32, (16, CHUNK), 1)
+            drow_ref[:] = jnp.where(lane16 < n - c * CHUNK, drows, 0.0)
 
             carry_ref[:, 0:1] = p_incl[:, CHUNK - 1 : CHUNK]
             carry_ref[:, 1:2] = ga[:, CHUNK - 1 : CHUNK]
 
         out_dma = pltpu.make_async_copy(
-            drow_ref, dtab_hbm.at[pl.ds(start + c * CHUNK, CHUNK), :], out_sem
+            drow_ref, dtab_hbm.at[:, pl.ds(start + c * CHUNK, CHUNK)], out_sem
         )
         out_dma.start()
         out_dma.wait()
@@ -425,7 +417,7 @@ def _backward_kernel(
 
 
 def blend_backward(
-    table: jnp.ndarray,        # (cap + CHUNK, 16)
+    table: jnp.ndarray,        # (16, cap_pad)
     tile_start: jnp.ndarray,
     tile_end: jnp.ndarray,
     d_rgb_tiles: jnp.ndarray,  # (num_tiles, px, 4) image cotangent (4th ch 0)
@@ -433,32 +425,30 @@ def blend_backward(
     *, tile: int, tiles_x: int, tiles_y: int, extra_info: bool = True,
     interpret: bool = False,
 ):
-    """Returns (d_table (cap + CHUNK, 16), per-pixel |grad_uv| image
-    (num_tiles, px, 2))."""
+    """Returns (d_table (16, cap_pad), |grad_uv| image (num_tiles, px, 2))."""
     num_tiles = tiles_x * tiles_y
     px_count = tile * tile
-    cap_pad = table.shape[0]
-    kernel = functools.partial(
-        _backward_kernel, tile=tile, tiles_x=tiles_x, extra_info=extra_info
-    )
+    cap_pad = table.shape[1]
+    kernel = functools.partial(_backward_kernel, tile=tile,
+                               extra_info=extra_info)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, px_count, 4), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, px_count, 4), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, px_count, 2), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((CHUNK, 16), jnp.float32),
-            pltpu.VMEM((CHUNK, 16), jnp.float32),
+            pltpu.VMEM((16, CHUNK), jnp.float32),
+            pltpu.VMEM((16, CHUNK), jnp.float32),
             pltpu.VMEM((px_count, 8), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -468,7 +458,7 @@ def blend_backward(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((cap_pad, 16), jnp.float32),
+            jax.ShapeDtypeStruct((16, cap_pad), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles, px_count, 2), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(

@@ -14,13 +14,13 @@ per-point raw attribute bundle; everything upstream (projection, EWA, SH,
 sigmoid) differentiates with JAX autodiff, replacing the reference's
 hand-derived Jacobians (its backward phase 2, :707-772).
 
-Gradient semantics deliberately matched to the reference:
+Gradient semantics:
 - only the rgb image output backpropagates (depth/alpha/count cotangents
-  are ignored, :1025-1163);
-- d_cov2d uses the conic approximation (utils.py:335-348); rescale and the
-  +0.3 low-pass are treated as constants in the blend backward, but the
-  cov2d -> (q, s) chain is exact via autodiff;
-- the alpha clamp at 0.99 is straight-through.
+  are ignored), matching the reference (:1025-1163);
+- the alpha clamp at 0.99 is straight-through, matching the reference;
+- unlike the reference (which approximates d_cov2d by the filtered conic,
+  utils.py:335-348), the kernel emits EXACT conic/rescale gradients and the
+  conic -> cov2d -> (q, s) chain is differentiated exactly by autodiff.
 """
 from __future__ import annotations
 
@@ -142,9 +142,12 @@ def _build_table(raw: RawAttrs, keys: tiling.TileKeys, tiles_x: int,
     raw_n = blend_pallas.pack_raw_columns(
         raw.uv, raw.conic, raw.opacity, raw.color, raw.depth
     )
+    # pad slots point at pool slot N (one extra zero row)
+    raw_n = jnp.concatenate([raw_n, jnp.zeros((1, 16), raw_n.dtype)], axis=0)
     gathered = raw_n[keys.point_idx]
-    table = blend_pallas.finalize_table(gathered, keys.tile_id, tiles_x, tile)
-    return jnp.pad(table, ((0, CHUNK), (0, 0)))
+    return blend_pallas.finalize_table(
+        gathered, keys.tile_of_slot, tiles_x, tile
+    )
 
 
 def _blend_core_fwd(raw: RawAttrs, keys: tiling.TileKeys, tile: int,
@@ -184,14 +187,15 @@ def _blend_bwd_impl(raw, keys, table, out_tiles, d_rgb_tiles, tile, grid_hw,
         extra_info=cfg.extra_info, interpret=cfg.interpret,
     )
 
-    # sorted-key order -> original-key order -> per-point rows. Slots beyond
-    # the true key count were never written by any tile (uninitialized
-    # output memory) — zero them so the reduction matmul can't be poisoned.
+    # tile-layout order -> original-key order -> per-point rows. Slots
+    # beyond the true key count were never written by any tile
+    # (uninitialized output memory) — zero them so the reduction matmul
+    # can't be poisoned.
     inv = tiling.inverse_permutation(keys.orig_slot)
-    d_orig = d_table_sorted[:cfg.key_cap][inv]
+    d_orig = d_table_sorted[:, inv[: cfg.key_cap]]  # (16, key_cap)
     slot = jnp.arange(cfg.key_cap, dtype=jnp.int32)
-    d_orig = jnp.where((slot < keys.total)[:, None], d_orig, 0.0)
-    d_orig = jnp.pad(d_orig, ((0, CHUNK), (0, 0)))
+    d_orig = jnp.where((slot < keys.total)[None, :], d_orig, 0.0)
+    d_orig = jnp.pad(d_orig, ((0, 0), (0, CHUNK)))
     per_point = segment_reduce(
         d_orig, keys.offsets, keys.counts, interpret=cfg.interpret
     )[: raw.uv.shape[0]]
@@ -210,7 +214,7 @@ def _blend_bwd_impl(raw, keys, table, out_tiles, d_rgb_tiles, tile, grid_hw,
         color=per_point[:, 6:9],
         depth=jnp.zeros_like(raw.depth),
     )
-    stats = (per_point[:, 9], per_point[:, 10], imggrad_tiles)
+    stats = (per_point[:, 10], per_point[:, 11], imggrad_tiles)
     return d_raw, stats
 
 

@@ -1,19 +1,22 @@
 """Ragged contiguous segment-sum as a Pallas kernel.
 
 Reduces per-key gradient rows (in ORIGINAL key order, where each point's
-keys are contiguous: rows [offsets[p], offsets[p] + counts[p])) to per-point
-rows. Replaces the reference backward's atomic adds into per-point buffers
-(GaussianPointCloudRasterisation.py:674-696).
+keys are contiguous: lanes [offsets[p], offsets[p] + counts[p])) to
+per-point rows. Replaces the reference backward's atomic adds into
+per-point buffers (GaussianPointCloudRasterisation.py:674-696).
 
 Why a kernel: XLA's scatter-add / segment_sum on TPU measured ~170-200 ms
 for 2M x 12 rows (see PLAN.md); this kernel streams the rows once
-(sequential grid) and resolves row->point ownership with a boolean
+(sequential grid) and resolves key->point ownership with a boolean
 membership matrix contracted on the MXU:
-  out_block (PB, 16) += member^T (PB, CHUNK) @ rows (CHUNK, 16).
+  out_block (PB, 16) += member (PB, CHUNK) @ rows_chunk (16, CHUNK)^T.
+
+Input rows are struct-of-arrays (16, cols) like the blend kernels' output;
+DMA windows are (16, CHUNK) at CHUNK-aligned lane offsets (the kernel
+aligns each block's window itself — membership masking makes the extra
+lanes harmless).
 """
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -28,17 +31,18 @@ def _kernel(
     # scalar prefetch
     block_lo_ref, block_hi_ref,
     # inputs
-    offsets_ref,   # (PB + 1,) block slice of padded offsets, in VMEM
-    rows_hbm,      # (cap_pad, 16) per-key rows, HBM
+    offsets_ref,   # (1, PB, 2) block slice of [seg_lo, seg_hi], in VMEM
+    rows_hbm,      # (16, cols) per-key rows, HBM
     # outputs
-    out_ref,       # (PB, 16) per-point sums
+    out_ref,       # (1, PB, 16) per-point sums
     # scratch
     row_ref, sem,
 ):
     b = pl.program_id(0)
     lo = block_lo_ref[b]
     hi = block_hi_ref[b]
-    nch = pl.cdiv(hi - lo, CHUNK)
+    lo_al = (lo // CHUNK) * CHUNK
+    nch = pl.cdiv(hi - lo_al, CHUNK)
 
     off_lo = offsets_ref[0, :, 0:1]   # (PB, 1) segment starts
     off_hi = offsets_ref[0, :, 1:2]   # (PB, 1) segment ends
@@ -46,18 +50,20 @@ def _kernel(
     out_ref[0] = jnp.zeros_like(out_ref[0])
 
     def body(c, _):
-        base = lo + c * CHUNK
+        base = lo_al + c * CHUNK
         dma = pltpu.make_async_copy(
-            rows_hbm.at[pl.ds(base, CHUNK), :], row_ref, sem
+            rows_hbm.at[:, pl.ds(base, CHUNK)], row_ref, sem
         )
         dma.start()
         dma.wait()
         gid = base + jax.lax.broadcasted_iota(
             jnp.int32, (POINT_BLOCK, CHUNK), 1
-        )  # global row index, broadcast over points
-        member = jnp.logical_and(gid >= off_lo, gid < off_hi).astype(jnp.float32)
+        )  # global key index, broadcast over points
+        member = jnp.logical_and(gid >= off_lo, gid < off_hi).astype(
+            jnp.float32
+        )
         out_ref[0] = out_ref[0] + jax.lax.dot_general(
-            member, row_ref[:], (((1,), (0,)), ((), ())),
+            member, row_ref[:], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return 0
@@ -66,19 +72,19 @@ def _kernel(
 
 
 def segment_reduce(
-    rows: jnp.ndarray,      # (cap_pad, 16) per-key rows, original order
+    rows: jnp.ndarray,      # (16, cols) per-key rows, original order (SoA)
     offsets: jnp.ndarray,   # (N,) exclusive cumsum of counts
     counts: jnp.ndarray,    # (N,)
     *, interpret: bool = False,
 ) -> jnp.ndarray:
-    """Per-point sums (N_padded_to_block, 16)."""
+    """Per-point sums (N_padded_to_block, 16). ``rows`` must be padded with
+    at least CHUNK extra lanes beyond the largest segment end."""
     n = offsets.shape[0]
     nb = (n + POINT_BLOCK - 1) // POINT_BLOCK
     n_pad = nb * POINT_BLOCK
     seg_lo = jnp.pad(offsets, (0, n_pad - n))
     seg_hi = jnp.pad(offsets + counts, (0, n_pad - n))
-    # Per-block row window [lo, hi): lo = first segment start, hi = last end.
-    block_lo = seg_lo[:: POINT_BLOCK]
+    block_lo = seg_lo[:: POINT_BLOCK].astype(jnp.int32)
     block_hi = jnp.maximum(
         seg_hi.reshape(nb, POINT_BLOCK).max(axis=1), block_lo
     ).astype(jnp.int32)
@@ -90,24 +96,24 @@ def segment_reduce(
         in_specs=[
             pl.BlockSpec((1, POINT_BLOCK, 2), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
             (1, POINT_BLOCK, 16), lambda b, *_: (b, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((CHUNK, 16), jnp.float32),
+            pltpu.VMEM((16, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel),
+        _kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, POINT_BLOCK, 16), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(block_lo.astype(jnp.int32), block_hi, off_pair.astype(jnp.int32), rows)
+    )(block_lo, block_hi, off_pair.astype(jnp.int32), rows)
     return out.reshape(n_pad, 16)

@@ -64,14 +64,31 @@ def tile_bbox(
     return TileBBox(min_tu, max_tu, min_tv, max_tv)
 
 
-class TileKeys(NamedTuple):
-    """Sorted key lists with static capacity."""
+CHUNK = 128  # must match blend_pallas.CHUNK: tile ranges are aligned to it
 
-    point_idx: jnp.ndarray    # (key_cap,) int32 pool slot of each key, sorted
-    orig_slot: jnp.ndarray    # (key_cap,) int32 pre-sort slot (for inverse perm)
-    tile_id: jnp.ndarray      # (key_cap,) int32 sorted tile ids (sentinel = T)
-    tile_start: jnp.ndarray   # (num_tiles,) int32 range starts into the above
-    tile_end: jnp.ndarray     # (num_tiles,) int32 range ends
+
+def padded_capacity(key_cap: int, num_tiles: int) -> int:
+    """Static size of the chunk-aligned key layout."""
+    return key_cap + CHUNK * num_tiles
+
+
+class TileKeys(NamedTuple):
+    """Depth-sorted per-tile key lists in a CHUNK-aligned static layout.
+
+    Each tile's keys occupy [tile_start[t], tile_start[t] + count) inside a
+    region padded up to a multiple of CHUNK (=128); the alignment lets the
+    Pallas kernels DMA (16, 128) windows at lane-aligned offsets (Mosaic
+    rejects unaligned / narrow HBM slices) and gives every tile a private
+    scratch tail for its last partial chunk.
+    """
+
+    point_idx: jnp.ndarray    # (cap_pad,) int32 pool slot per key (pad: N)
+    orig_slot: jnp.ndarray    # (cap_pad,) int32 pre-sort slot; pads get
+                              # key_cap + j (unique, sort after all real)
+    real: jnp.ndarray         # (cap_pad,) bool: actual key vs padding
+    tile_of_slot: jnp.ndarray # (cap_pad,) int32 owning tile of each slot
+    tile_start: jnp.ndarray   # (num_tiles,) int32, CHUNK-aligned
+    tile_end: jnp.ndarray     # (num_tiles,) int32 = start + true count
     offsets: jnp.ndarray      # (N,) int32 exclusive cumsum of per-point counts
     counts: jnp.ndarray       # (N,) int32 per-point key counts (masked)
     total: jnp.ndarray        # () int32 true number of keys (may exceed cap)
@@ -138,15 +155,33 @@ def build_tile_keys(
     bounds = jnp.searchsorted(
         tid_s, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
-    tile_start = bounds[:-1]
-    tile_end = bounds[1:]
+    counts_t = bounds[1:] - bounds[:-1]
+
+    # Re-layout into the CHUNK-aligned space: same run-length-decode trick
+    # as above, this time over tiles (num_tiles marks + one cumsum).
+    cap_pad = padded_capacity(key_cap, num_tiles)
+    padded_len = ((counts_t + CHUNK - 1) // CHUNK) * CHUNK
+    padded_start = jnp.cumsum(padded_len) - padded_len
+    marks_t = jnp.zeros((cap_pad,), jnp.int32).at[padded_start].add(
+        1, mode="drop"
+    )
+    tile_of_pad = jnp.clip(jnp.cumsum(marks_t) - 1, 0, num_tiles - 1)
+    j_local = jnp.arange(cap_pad, dtype=jnp.int32) - padded_start[tile_of_pad]
+    src = jnp.clip(bounds[:-1][tile_of_pad] + j_local, 0, key_cap - 1)
+    real = j_local < counts_t[tile_of_pad]
+
+    point_idx = jnp.where(real, pidx_s[src], n)
+    orig_slot = jnp.where(
+        real, orig_s[src], key_cap + jnp.arange(cap_pad, dtype=jnp.int32)
+    )
 
     return TileKeys(
-        point_idx=pidx_s,
-        orig_slot=orig_s,
-        tile_id=tid_s,
-        tile_start=tile_start,
-        tile_end=tile_end,
+        point_idx=point_idx,
+        orig_slot=orig_slot,
+        real=real,
+        tile_of_slot=tile_of_pad.astype(jnp.int32),
+        tile_start=padded_start.astype(jnp.int32),
+        tile_end=(padded_start + counts_t).astype(jnp.int32),
         offsets=offsets,
         counts=counts,
         total=total,
@@ -162,7 +197,9 @@ def inverse_permutation(orig_slot: jnp.ndarray) -> jnp.ndarray:
     instead of a scatter (scatters are slower than sorts on TPU for this
     size; see PLAN.md measurements).
     """
-    cap = orig_slot.shape[0]
-    pos = jnp.arange(cap, dtype=jnp.int32)
-    _, inv = jax.lax.sort((orig_slot, pos), num_keys=1)
+    cap_pad = orig_slot.shape[0]
+    pos = jnp.arange(cap_pad, dtype=jnp.int32)
+    sorted_orig, inv = jax.lax.sort((orig_slot, pos), num_keys=1)
+    # Entries [0, total) are the real keys; later entries map padding/sentinel
+    # slots to garbage rows, which callers mask with (slot < total).
     return inv
