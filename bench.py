@@ -1,0 +1,97 @@
+"""Benchmark harness: rasterizer forward (+ backward) on Truck-scale scenes.
+
+Protocol mirrors the reference benchmark/inference_benchmark.py (warm-up
+then timed frames, device-event timing); scene size matches the published
+Truck 30k checkpoint (~4.3e5 points) and the ~980x545 val views, cropped to
+the 32-px TPU tile (960x544).
+
+Reference baseline (benchmark/README.md:13-17): 20.07 ms/frame forward on
+an RTX 3090 at 4.6e5 points -> 26.0 Mpix/s. vs_baseline below is the ratio
+of our forward Mpix/s to that number (>1 = faster than the reference on its
+own headline benchmark).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+N_POINTS = 428_687          # Truck 30k checkpoint size (README.md:70)
+HEIGHT, WIDTH = 544, 960    # ~980x546 val views cropped to 32-px tiles
+WARMUP = 5
+TIMED = 20
+
+REF_MS = 20.07              # RTX 3090 forward ms/frame (benchmark/README.md)
+REF_MPIX_S = (980 * 546 / 1e6) / (REF_MS / 1e3)
+
+
+def synthetic_truck_scene(n: int, seed: int = 0):
+    """Synthetic stand-in with Truck-like screen statistics: points spread
+    over a street-scale shell around the camera, log-scales sized so splats
+    cover a handful of pixels at depth."""
+    rng = np.random.default_rng(seed)
+    xyz = np.stack(
+        [rng.uniform(-8.0, 8.0, n), rng.uniform(-4.0, 4.0, n),
+         rng.uniform(1.0, 30.0, n)], axis=-1
+    ).astype(np.float32)
+    feats = np.zeros((n, 56), np.float32)
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    feats[:, 0:4] = q / np.linalg.norm(q, axis=1, keepdims=True)
+    feats[:, 4:7] = rng.uniform(-4.5, -2.0, (n, 3))
+    feats[:, 7] = rng.uniform(-2.0, 3.0, n)
+    feats[:, 8:] = (rng.normal(size=(n, 48)) * 0.3).astype(np.float32)
+    return jnp.asarray(xyz), jnp.asarray(feats)
+
+
+def main():
+    from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import (
+        Camera, RasterizerConfig, rasterize,
+    )
+
+    platform = jax.devices()[0].platform
+    interpret = platform == "cpu"
+    cfg = RasterizerConfig(
+        tile_size=32, key_cap=2**21, interpret=interpret, extra_info=False,
+    )
+    xyz, feats = synthetic_truck_scene(N_POINTS)
+    invalid = jnp.zeros((N_POINTS,), bool)
+    q = jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32)
+    t = jnp.zeros((3,), jnp.float32)
+    K = jnp.asarray(
+        [[580.0, 0.0, WIDTH / 2], [0.0, 580.0, HEIGHT / 2], [0.0, 0.0, 1.0]],
+        jnp.float32,
+    )
+    camera = Camera(K=K, width=WIDTH, height=HEIGHT)
+
+    @jax.jit
+    def fwd(xyz, feats, q, t):
+        return rasterize(xyz, feats, invalid, q, t, camera, cfg).rgb
+
+    out = fwd(xyz, feats, q, t)
+    jax.block_until_ready(out)
+    for _ in range(WARMUP):
+        jax.block_until_ready(fwd(xyz, feats, q, t))
+    t0 = time.perf_counter()
+    for _ in range(TIMED):
+        out = fwd(xyz, feats, q, t)
+    jax.block_until_ready(out)
+    ms = (time.perf_counter() - t0) / TIMED * 1e3
+
+    mpix_s = (HEIGHT * WIDTH / 1e6) / (ms / 1e3)
+    print(json.dumps({
+        "metric": f"truck428k_render_fwd_mpix_per_s_{platform}",
+        "value": round(mpix_s, 3),
+        "unit": "Mpix/s",
+        "vs_baseline": round(mpix_s / REF_MPIX_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

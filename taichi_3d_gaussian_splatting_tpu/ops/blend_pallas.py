@@ -10,27 +10,34 @@ phase 1). The design is TPU-native rather than a translation:
   range starts at a 128-aligned lane offset (tiling.py pads the layout), so
   each DMA is a (16, 128) window at an aligned offset — the only slice
   shape Mosaic accepts for narrow attribute data.
-- The Gaussian exponent AND the log(opacity*rescale) offset are evaluated
-  as ONE matmul on the MXU: alpha = exp(monomials(pixel) @ coef(key)), with
-  monomials = [x^2, y^2, xy, x, y, 1, 0, 0] in tile-local coordinates.
+- The Gaussian exponent is evaluated on the VPU in exact f32:
+  alpha = exp(-0.5 (a dx^2 + c dy^2) - b dx dy + log(rescale * opacity))
+  with dx, dy the (pixel, key) offset broadcasts in TILE-LOCAL coordinates.
+  (An earlier design used an MXU monomial matmul, but its K=8 contraction
+  is 6%-utilized on the MXU AND the default bf16 MXU input rounding of the
+  expanded-quadratic coefficients produced exponent errors of O(100) at
+  1000-px image widths — VPU f32 is both faster and exact.)
 - The per-pixel sequential transmittance recurrence is re-expressed as a
   cumulative product along the 128-lane key axis (log2 roll-multiply
   steps) with a per-pixel carry between chunks — semantics identical to
   the reference's front-to-back loop, including the 1/255 skip, the 0.99
   clamp and the sticky T < 1e-4 saturation.
-- Color/depth accumulation is a second MXU matmul: acc += w @ [r,g,b,d]^T.
+- Color/depth accumulation is one MXU matmul acc += w @ [r,g,b,d]^T with
+  precision=HIGHEST (K=128 f32; every MXU op in these kernels pins HIGHEST
+  — bf16 rounding fails the 1e-4 oracle gates).
 - The backward recomputes the forward chunk state (only the final image is
   saved), uses the prefix identity S_i = g.C_final - g.A_i (A_i inclusive
   prefix of (g.c_j) w_j) to get dL/dalpha_i in a single front-to-back
   sweep — same algebra as the reference's back-to-front "division trick"
   (:561-565, :643-657) — and reduces every per-key gradient over the pixel
-  axis with one MXU matmul against the same monomial matrix.
+  axis with one MXU matmul De = monomials^T @ de (K=1024, HIGHEST), from
+  which all six conic/position gradients follow by exact central-moment
+  algebra in tile-local coordinates.
 
 Table layout: (16, cap_pad) f32, one lane per key slot:
-  rows 0..5  exponent coefficients (alpha = exp(m . k); k5 includes
-             log(rescale * opacity), tile-local coordinates)
-  rows 6..9  r, g, b, depth
-  rows 10..14 u_local, v_local, conic_a, conic_b, conic_c;  row 15 zero
+  rows 0..5  u_local, v_local, conic_a, conic_b, conic_c,
+             log(rescale * opacity)
+  rows 6..9  r, g, b, depth;  rows 10..15 zero
 
 Backward output (16, cap_pad): rows
   0 d_u, 1 d_v, 2 d_conic_a, 3 d_conic_b, 4 d_conic_c,
@@ -74,10 +81,9 @@ def pack_raw_columns(uv, conic, opacity, color, depth):
 def finalize_table(gathered, tile_of_key, tiles_x: int, tile: int):
     """(cap_pad, 16) gathered raw rows -> (16, cap_pad) SoA kernel table.
 
-    Exponent coefficients use TILE-LOCAL coordinates: with global pixel
-    coords the expanded quadratic a*x^2 - 2*a*u*x cancellation loses
-    ~|u|^2 * 1e-7 of absolute exponent precision — catastrophic at 1000-px
-    image widths. Locally the error is bounded by ~(3 sigma/sigma)^2 * 1e-7.
+    Splat centers are stored in TILE-LOCAL coordinates (global uv minus the
+    owning tile's pixel origin) so all in-kernel pixel offsets stay small
+    and f32-exact regardless of image width.
     """
     g = jnp.where(jnp.isfinite(gathered), gathered, 0.0)
     u_g, v_g = g[:, 0], g[:, 1]
@@ -87,28 +93,32 @@ def finalize_table(gathered, tile_of_key, tiles_x: int, tile: int):
     cy = ((tile_of_key // tiles_x) * tile).astype(jnp.float32)
     u = u_g - cx
     v = v_g - cy
-    k0 = -0.5 * a
-    k1 = -0.5 * c
-    k2 = -b
-    k3 = a * u + b * v
-    k4 = c * v + b * u
-    k5 = -0.5 * (a * u * u + c * v * v + 2.0 * b * u * v) + jnp.log(
-        jnp.maximum(resc * op, 1e-37)
-    )
+    logro = jnp.log(jnp.maximum(resc * op, 1e-37))
     zero = jnp.zeros_like(u)
     return jnp.stack(
-        [k0, k1, k2, k3, k4, k5, g[:, 7], g[:, 8], g[:, 9], g[:, 10],
-         u, v, a, b, c, zero],
+        [u, v, a, b, c, logro, g[:, 7], g[:, 8], g[:, 9], g[:, 10],
+         zero, zero, zero, zero, zero, zero],
         axis=0,
     )
 
 
-def _pixel_monomials(tile: int):
-    """(tile*tile, 8) tile-LOCAL monomials [x^2, y^2, xy, x, y, 1, 0, 0]."""
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _pixel_coords(tile: int):
+    """((PX, 1) x, (PX, 1) y) tile-local pixel centers (+0.5, reference
+    :444-447)."""
     px_count = tile * tile
     i = jax.lax.broadcasted_iota(jnp.int32, (px_count, 1), 0)
     x = (i % tile).astype(jnp.float32) + 0.5
     y = (i // tile).astype(jnp.float32) + 0.5
+    return x, y
+
+
+def _pixel_monomials(tile: int):
+    """(tile*tile, 8) tile-LOCAL monomials [x^2, y^2, xy, x, y, 1, 0, 0];
+    used by the backward's moment matmul (K=PX reduction on the MXU)."""
+    x, y = _pixel_coords(tile)
     one = jnp.ones_like(x)
     zero = jnp.zeros_like(x)
     return jnp.concatenate([x * x, y * y, x * y, x, y, one, zero, zero], axis=1)
@@ -126,17 +136,20 @@ def _lane_scan(x, op_mul: bool):
     return x
 
 
-def _chunk_state(tab, mono, n_valid, t_run):
+def _chunk_state(tab, xy, n_valid, t_run):
     """Shared fwd/bwd per-chunk recompute: alphas, masks, transmittances.
 
-    tab: (16, CHUNK) SoA chunk; mono: (PX, 8); n_valid: lanes < this are
-    real keys of the current tile; t_run: (PX, 1) carried transmittance.
+    tab: (16, CHUNK) SoA chunk; xy: ((PX, 1), (PX, 1)) tile-local pixel
+    centers; n_valid: lanes < this are real keys of the current tile;
+    t_run: (PX, 1) carried transmittance. All math on the VPU, exact f32.
     """
-    px_count = mono.shape[0]
-    power = jax.lax.dot_general(
-        mono, tab[0:8, :], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (PX, CHUNK)
+    x, y = xy
+    px_count = x.shape[0]
+    dx = x - tab[0:1, :]   # (PX, CHUNK)
+    dy = y - tab[1:2, :]
+    ca, cb, cc = tab[2:3, :], tab[3:4, :], tab[4:5, :]
+    power = (-0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+             + tab[5:6, :])
     alpha_u = jnp.exp(power)
     lane = jax.lax.broadcasted_iota(jnp.int32, (px_count, CHUNK), 1)
     in_range = lane < n_valid
@@ -150,7 +163,7 @@ def _chunk_state(tab, mono, n_valid, t_run):
     t_excl = p_incl / om
     include = jnp.logical_and(jnp.logical_not(skip), p_incl >= T_SATURATION_EPS)
     w = jnp.where(include, a * t_excl, 0.0)
-    return alpha_u, a, om, p_incl, t_excl, include, w
+    return alpha_u, a, om, p_incl, t_excl, include, w, dx, dy
 
 
 # ---------------------------------------------------------------------------
@@ -171,12 +184,15 @@ def _forward_kernel(
 ):
     px_count = tile * tile
     t = pl.program_id(0)
-    start = start_ref[t]
+    # tile_start is CHUNK-aligned by construction (tiling.py pads every
+    # tile's range); the hint lets Mosaic prove the HBM DMA slices are
+    # lane-aligned (it rejects the slice otherwise).
+    start = pl.multiple_of(start_ref[t], CHUNK)
     end = end_ref[t]
     n = end - start
     nch = pl.cdiv(n, CHUNK)
 
-    mono = _pixel_monomials(tile)
+    xy = _pixel_coords(tile)
 
     acc_ref[:] = jnp.zeros((px_count, 8), jnp.float32)
     # t_ref columns: 0 = running product over all processed (saturation
@@ -193,12 +209,12 @@ def _forward_kernel(
             dma.wait()
             tab = tab_ref[:]
             t_run = t_ref[:, 0:1]
-            alpha_u, a, om, p_incl, t_excl, include, w = _chunk_state(
-                tab, mono, n - c * CHUNK, t_run
+            alpha_u, a, om, p_incl, t_excl, include, w, _, _ = _chunk_state(
+                tab, xy, n - c * CHUNK, t_run
             )
             acc = jax.lax.dot_general(
                 w, tab[6:10, :], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=HIGHEST,
             )  # (PX, 4): [sum w*r, w*g, w*b, w*depth]
             w_sum = jnp.sum(w, axis=1, keepdims=True)
             cnt = jnp.sum(include.astype(jnp.float32), axis=1, keepdims=True)
@@ -280,11 +296,13 @@ def _backward_kernel(
 ):
     px_count = tile * tile
     t = pl.program_id(0)
-    start = start_ref[t]
+    # CHUNK-aligned by construction; see _forward_kernel
+    start = pl.multiple_of(start_ref[t], CHUNK)
     end = end_ref[t]
     n = end - start
     nch = pl.cdiv(n, CHUNK)
 
+    xy = _pixel_coords(tile)
     mono = _pixel_monomials(tile)
     g = g_ref[0]        # (PX, 4) d_rgb (4th channel zero)
     cfin = cfin_ref[0]  # (PX, 4) final pre-background rgb
@@ -313,14 +331,13 @@ def _backward_kernel(
             tab = tab_ref[:]
             t_run = carry_ref[:, 0:1]
             ga_prev = carry_ref[:, 1:2]
-            alpha_u, a, om, p_incl, t_excl, include, w = _chunk_state(
-                tab, mono, n - c * CHUNK, t_run
+            alpha_u, a, om, p_incl, t_excl, include, w, dx, dy = _chunk_state(
+                tab, xy, n - c * CHUNK, t_run
             )
-            # g.c per (pixel, key): (PX,4) x (4,CHUNK) -> (PX, CHUNK)
-            gc = jax.lax.dot_general(
-                g, tab[6:10, :], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            # g.c per (pixel, key): 4 broadcast FMAs on the VPU (K=4 is a
+            # degenerate MXU contraction)
+            gc = (g[:, 0:1] * tab[6:7, :] + g[:, 1:2] * tab[7:8, :]
+                  + g[:, 2:3] * tab[8:9, :] + g[:, 3:4] * tab[9:10, :])
             gcw = gc * w
             ga = ga_prev + _lane_scan(gcw, op_mul=False)  # inclusive prefix
             s_after = g_cfin - ga
@@ -328,18 +345,18 @@ def _backward_kernel(
             de = dalpha * alpha_u  # dL/d_exponent, (PX, CHUNK)
 
             # Moments: (8, CHUNK) = mono^T @ de — every pixel-reduction the
-            # per-key gradients need, in one MXU op.
+            # per-key gradients need, in one MXU op (K=PX, f32 HIGHEST).
             De = jax.lax.dot_general(
                 mono, de, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=HIGHEST,
             )
             Sxx, Syy, Sxy = De[0:1, :], De[1:2, :], De[2:3, :]
             Su, Sv, S1 = De[3:4, :], De[4:5, :], De[5:6, :]
-            u = tab[10:11, :]
-            v = tab[11:12, :]
-            ca = tab[12:13, :]
-            cb = tab[13:14, :]
-            cc = tab[14:15, :]
+            u = tab[0:1, :]
+            v = tab[1:2, :]
+            ca = tab[2:3, :]
+            cb = tab[3:4, :]
+            cc = tab[4:5, :]
             Eu = Su - u * S1   # sum de * dx
             Ev = Sv - v * S1   # sum de * dy
             d_u = ca * Eu + cb * Ev
@@ -353,32 +370,16 @@ def _backward_kernel(
             d_cc = -0.5 * Sdy2
             d_logop = S1
 
-            # d_color rows: (4, CHUNK) = g^T @ w
+            # d_color rows: (4, CHUNK) = g^T @ w (K=PX, f32 HIGHEST)
             dcol = jax.lax.dot_general(
                 g, w, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=HIGHEST,
             )
 
             if extra_info:
-                zeros_c = jnp.zeros_like(ca)
-                coef_x = jnp.concatenate(
-                    [zeros_c, zeros_c, zeros_c, ca, cb, -(ca * u + cb * v),
-                     zeros_c, zeros_c], axis=0,
-                )  # (8, CHUNK): a dx + b dy in monomial basis
-                coef_y = jnp.concatenate(
-                    [zeros_c, zeros_c, zeros_c, cb, cc, -(cb * u + cc * v),
-                     zeros_c, zeros_c], axis=0,
-                )
-                qdx = jax.lax.dot_general(
-                    mono, coef_x, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                qdy = jax.lax.dot_general(
-                    mono, coef_y, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                gx = de * qdx
-                gy = de * qdy
+                # per-(pixel, key) viewspace grads, directly from dx/dy
+                gx = de * (ca * dx + cb * dy)
+                gy = de * (cb * dx + cc * dy)
                 mag = jnp.sqrt(gx * gx + gy * gy)        # (PX, CHUNK)
                 mag_per_key = jnp.sum(mag, axis=0, keepdims=True)  # (1, CHUNK)
                 npix = jnp.sum(include.astype(jnp.float32), axis=0,

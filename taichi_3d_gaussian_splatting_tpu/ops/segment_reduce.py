@@ -41,7 +41,7 @@ def _kernel(
     b = pl.program_id(0)
     lo = block_lo_ref[b]
     hi = block_hi_ref[b]
-    lo_al = (lo // CHUNK) * CHUNK
+    lo_al = pl.multiple_of((lo // CHUNK) * CHUNK, CHUNK)
     nch = pl.cdiv(hi - lo_al, CHUNK)
 
     off_lo = offsets_ref[0, :, 0:1]   # (PB, 1) segment starts
@@ -65,6 +65,7 @@ def _kernel(
         out_ref[0] = out_ref[0] + jax.lax.dot_general(
             member, row_ref[:], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return 0
 

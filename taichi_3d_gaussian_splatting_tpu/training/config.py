@@ -1,0 +1,114 @@
+"""YAML -> nested dataclass config, replacing dataclass_wizard.YAMLWizard.
+
+Behavioral reference: GaussianPointTrainer.py:33-63 (TrainConfig and its
+nested sub-configs). Key handling matches the reference's observed behavior:
+kebab-case and snake_case keys both accepted, unknown/typo'd keys tolerated
+(e.g. `position_learning_rateo` in config/tat_truck_every_8_test.yaml).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Optional, Type, TypeVar
+
+import yaml
+
+from taichi_3d_gaussian_splatting_tpu.models.scene import SceneConfig
+from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import RasterizerConfig
+from taichi_3d_gaussian_splatting_tpu.training.controller import ControllerConfig
+from taichi_3d_gaussian_splatting_tpu.training.loss import LossConfig
+
+T = TypeVar("T")
+
+
+def _from_dict(cls: Type[T], data: Any) -> T:
+    if data is None:
+        return cls()
+    assert isinstance(data, dict), f"expected mapping for {cls.__name__}"
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for key, value in data.items():
+        name = key.replace("-", "_")
+        if name not in fields:
+            continue  # tolerate unknown keys like the reference
+        f = fields[name]
+        if dataclasses.is_dataclass(f.type) or (
+            isinstance(f.type, str) and f.type in _NESTED
+        ):
+            sub_cls = f.type if dataclasses.is_dataclass(f.type) else _NESTED[f.type]
+            kwargs[name] = _from_dict(sub_cls, value)
+        else:
+            kwargs[name] = value
+    return cls(**kwargs)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Mirrors GaussianPointTrainer.TrainConfig (reference :33-63), with
+    TPU-specific additions at the bottom."""
+
+    train_dataset_json_path: str = ""
+    val_dataset_json_path: str = ""
+    pointcloud_parquet_path: str = ""
+    num_iterations: int = 300000
+    val_interval: int = 1000
+    feature_learning_rate: float = 1e-3
+    position_learning_rate: float = 1e-5
+    position_learning_rate_decay_rate: float = 0.97
+    position_learning_rate_decay_interval: int = 100
+    increase_color_max_sh_band_interval: int = 1000
+    log_loss_interval: int = 10
+    log_metrics_interval: int = 100
+    print_metrics_to_console: bool = False
+    log_image_interval: int = 1000
+    enable_taichi_kernel_profiler: bool = False  # accepted, unused on TPU
+    log_taichi_kernel_profile_interval: int = 1000
+    log_validation_image: bool = True
+    initial_downsample_factor: int = 4
+    half_downsample_factor_interval: int = 250
+    summary_writer_log_dir: str = "logs"
+    output_model_dir: Optional[str] = None
+    rasterisation_config: RasterizerConfig = field(default_factory=RasterizerConfig)
+    adaptive_controller_config: ControllerConfig = field(default_factory=ControllerConfig)
+    gaussian_point_cloud_scene_config: SceneConfig = field(default_factory=SceneConfig)
+    loss_function_config: LossConfig = field(default_factory=LossConfig)
+    # --- TPU-specific ---
+    seed: int = 0
+    num_data_threads: int = 4
+    enable_jax_profiler: bool = False      # jax.profiler trace into log dir
+    jax_profiler_start_iteration: int = 200
+    jax_profiler_num_iterations: int = 20
+    data_parallel_devices: int = 1         # cameras sharded across a mesh
+
+
+_NESTED = {
+    "RasterizerConfig": RasterizerConfig,
+    "ControllerConfig": ControllerConfig,
+    "SceneConfig": SceneConfig,
+    "LossConfig": LossConfig,
+}
+
+
+def load_config(path: str) -> TrainConfig:
+    with open(path) as f:
+        data = yaml.safe_load(f)
+    return _from_dict(TrainConfig, data)
+
+
+def from_dict(data: dict) -> TrainConfig:
+    return _from_dict(TrainConfig, data)
+
+
+def _to_dict(obj: Any) -> Any:
+    if dataclasses.is_dataclass(obj):
+        return {
+            f.name: _to_dict(getattr(obj, f.name))
+            for f in dataclasses.fields(obj)
+        }
+    return obj
+
+
+def save_template(path: str) -> None:
+    """--gen_template_only equivalent (gaussian_point_train.py:12-15)."""
+    with open(path, "w") as f:
+        yaml.safe_dump(_to_dict(TrainConfig()), f, sort_keys=False)

@@ -1,0 +1,417 @@
+"""Training loop: jitted steps, progressive schedules, validation, logging.
+
+Behavioral reference: taichi_3d_gaussian_splatting/GaussianPointTrainer.py
+(:123-275 train loop, :341-423 validation). TPU-native structure:
+
+- ONE jitted train step per image resolution (static shapes; the progressive
+  downsample schedule yields a handful of resolution buckets, each compiled
+  once and cached). The step runs forward, loss, manual backward (exposing
+  densification stats, the reference's backward hook contract), grad-factor
+  scaling, controller accumulation and both optimizer updates entirely
+  on-device.
+- Two optax adam chains (features lr, positions lr with staircase
+  exponential decay every decay interval — reference :131-137, :191-192).
+- Densify find/apply are separate jitted calls gated by the host-side
+  iteration counter (reference update()/refinement() cadence).
+- Metrics land in TensorBoard (tensorboardX) + optional `key=value;`
+  console lines that the reference's SageMaker regex scraper consumes.
+- Checkpoint = scene parquet at every validation + best on PSNR
+  (reference :418-423).
+"""
+from __future__ import annotations
+
+import collections
+import functools
+import os
+import time
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from taichi_3d_gaussian_splatting_tpu.data.dataset import (
+    DatasetItem,
+    ImagePoseDataset,
+    PrefetchLoader,
+    downsample_item,
+)
+from taichi_3d_gaussian_splatting_tpu.models import scene as scene_lib
+from taichi_3d_gaussian_splatting_tpu.models.scene import GaussianScene
+from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import (
+    Camera,
+    RasterizerConfig,
+    rasterize_bwd,
+    rasterize_fwd_ctx,
+)
+from taichi_3d_gaussian_splatting_tpu.training import controller as ctrl
+from taichi_3d_gaussian_splatting_tpu.training.config import TrainConfig
+from taichi_3d_gaussian_splatting_tpu.training.loss import (
+    LossConfig,
+    compute_loss,
+    psnr as psnr_fn,
+    ssim as ssim_fn,
+)
+
+
+def grad_factor_vector(cfg: RasterizerConfig) -> np.ndarray:
+    """Per-column feature-gradient scaling (reference :1105-1125)."""
+    f = np.ones((56,), np.float32)
+    f[0:4] = cfg.grad_q_factor
+    f[4:7] = cfg.grad_s_factor
+    f[7] = cfg.grad_alpha_factor
+    f[8:] = cfg.grad_high_order_color_factor
+    f[[8, 24, 40]] = cfg.grad_color_factor
+    return f
+
+
+class TrainState(collections.namedtuple(
+        "TrainState", ["scene", "feat_opt", "pos_opt", "ctrl"])):
+    """Device-resident training state pytree."""
+
+
+def make_optimizers(config: TrainConfig):
+    feature_tx = optax.adam(config.feature_learning_rate, b1=0.9, b2=0.999)
+    pos_schedule = optax.exponential_decay(
+        init_value=config.position_learning_rate,
+        transition_steps=config.position_learning_rate_decay_interval,
+        decay_rate=config.position_learning_rate_decay_rate,
+        staircase=True,
+    )
+    position_tx = optax.adam(pos_schedule, b1=0.9, b2=0.999)
+    return feature_tx, position_tx
+
+
+def make_train_step(config: TrainConfig, height: int, width: int):
+    """Build the jitted step for one (height, width) bucket."""
+    rcfg = config.rasterisation_config
+    lcfg = config.loss_function_config
+    feature_tx, position_tx = make_optimizers(config)
+    gf = jnp.asarray(grad_factor_vector(rcfg))
+
+    def step(state: TrainState, image_gt, q, t, K, sh_band):
+        scene = state.scene
+        camera = Camera(K=K, width=width, height=height)
+        out, ctx, attrs_vjp = rasterize_fwd_ctx(
+            scene.xyz, scene.features, scene.invalid, q, t, camera, rcfg,
+            sh_max_band=sh_band, point_object_id=scene.object_id,
+        )
+        pred = jnp.clip(out.rgb, 0.0, 1.0)
+
+        def loss_fn(p, feats):
+            loss, l1, ssim_v = compute_loss(
+                p, image_gt, lcfg, features=feats, invalid_mask=scene.invalid
+            )
+            return loss, (l1, ssim_v)
+
+        (loss, (l1, ssim_v)), (d_pred, d_feat_reg) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(pred, scene.features)
+
+        # clamp backward: zero where the clip was active
+        pass_mask = jnp.logical_and(out.rgb > 0.0, out.rgb < 1.0)
+        d_rgb = jnp.where(pass_mask, d_pred, 0.0)
+
+        (d_xyz, d_features), stats = rasterize_bwd(
+            ctx, attrs_vjp, d_rgb, camera, rcfg
+        )
+        d_features = d_features * gf[None, :] + d_feat_reg
+
+        # never move invalid slots
+        valid = jnp.logical_not(scene.invalid)[:, None]
+        d_xyz = jnp.where(valid, d_xyz, 0.0)
+        d_features = jnp.where(valid, d_features, 0.0)
+
+        fu, feat_opt = feature_tx.update(d_features, state.feat_opt)
+        pu, pos_opt = position_tx.update(d_xyz, state.pos_opt)
+        scene = scene._replace(
+            features=optax.apply_updates(scene.features, fu),
+            xyz=optax.apply_updates(scene.xyz, pu),
+        )
+
+        ctrl_state = ctrl.accumulate(
+            state.ctrl, stats.in_camera, stats.num_affected_pixels,
+            stats.magnitude_grad_viewspace, d_xyz,
+        )
+
+        new_state = TrainState(scene=scene, feat_opt=feat_opt,
+                               pos_opt=pos_opt, ctrl=ctrl_state)
+        metrics = {
+            "loss": loss, "l1": l1, "ssim": ssim_v,
+            "psnr": psnr_fn(pred, image_gt),
+        }
+        aux = {
+            "pred": pred, "depth": out.depth, "count": out.count,
+            "stats": stats, "point_depth": ctx.raw.depth,
+        }
+        return new_state, metrics, aux
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_densify_step(config: TrainConfig):
+    ccfg = config.adaptive_controller_config
+
+    @functools.partial(jax.jit, static_argnums=(5,), donate_argnums=())
+    def find(scene, ctrl_state, stats, point_depth, _key, remove_floaters):
+        return ctrl.find_densify(
+            scene, ctrl_state, stats.in_camera, stats.num_affected_pixels,
+            stats.magnitude_grad_viewspace, point_depth, remove_floaters, ccfg,
+        )
+
+    @jax.jit
+    def apply(scene, info, key):
+        new_scene = ctrl.apply_densify(scene, info, key, ccfg)
+        return new_scene, ctrl.init_state(scene.capacity)
+
+    @jax.jit
+    def alpha_reset(scene):
+        return ctrl.reset_alpha(scene, ccfg)
+
+    return find, apply, alpha_reset
+
+
+def make_eval_step(config: TrainConfig, height: int, width: int):
+    rcfg = config.rasterisation_config
+
+    @jax.jit
+    def eval_step(scene: GaussianScene, image_gt, q, t, K, sh_band):
+        from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import rasterize
+
+        camera = Camera(K=K, width=width, height=height)
+        out = rasterize(
+            scene.xyz, scene.features, scene.invalid, q, t, camera, rcfg,
+            sh_max_band=sh_band, point_object_id=scene.object_id,
+        )
+        pred = jnp.clip(out.rgb, 0.0, 1.0)
+        loss, l1, ssim_v = compute_loss(
+            pred, image_gt, config.loss_function_config
+        )
+        return {
+            "loss": loss, "l1": l1, "ssim": ssim_v,
+            "psnr": psnr_fn(pred, image_gt),
+            "ssim_score": ssim_fn(pred, image_gt),
+        }, pred, out.depth
+
+    return eval_step
+
+
+class GaussianPointCloudTrainer:
+    """Reference GaussianPointCloudTrainer (:65-98, :123-275)."""
+
+    def __init__(self, config: TrainConfig):
+        self.config = config
+        os.makedirs(config.summary_writer_log_dir, exist_ok=True)
+        self.output_model_dir = config.output_model_dir or config.summary_writer_log_dir
+        os.makedirs(self.output_model_dir, exist_ok=True)
+
+        try:
+            from tensorboardX import SummaryWriter
+            self.writer = SummaryWriter(log_dir=config.summary_writer_log_dir)
+        except Exception:
+            self.writer = None
+
+        tile = config.rasterisation_config.tile_size
+        self.train_dataset = ImagePoseDataset(
+            config.train_dataset_json_path, tile_size=tile)
+        self.val_dataset = ImagePoseDataset(
+            config.val_dataset_json_path, tile_size=tile)
+        self.scene = scene_lib.from_parquet(
+            config.pointcloud_parquet_path,
+            config=config.gaussian_point_cloud_scene_config,
+            seed=config.seed,
+        )
+        self.best_psnr_score = 0.0
+        self._step_cache = {}
+        self._eval_cache = {}
+        self.densify_find, self.densify_apply, self.alpha_reset = (
+            make_densify_step(config))
+        self.rng = jax.random.PRNGKey(config.seed)
+
+    # -- step-fn caches (one compile per resolution bucket) -----------------
+
+    def _get_step(self, h: int, w: int):
+        if (h, w) not in self._step_cache:
+            self._step_cache[(h, w)] = make_train_step(self.config, h, w)
+        return self._step_cache[(h, w)]
+
+    def _get_eval(self, h: int, w: int):
+        if (h, w) not in self._eval_cache:
+            self._eval_cache[(h, w)] = make_eval_step(self.config, h, w)
+        return self._eval_cache[(h, w)]
+
+    # -- logging -------------------------------------------------------------
+
+    def _scalar(self, tag: str, value, iteration: int):
+        if self.writer is not None:
+            self.writer.add_scalar(tag, float(value), iteration)
+
+    def _console(self, **kv):
+        if self.config.print_metrics_to_console:
+            for k, v in kv.items():
+                print(f"{k}={v};")
+
+    # -- main loop -------------------------------------------------------------
+
+    def train(self):
+        config = self.config
+        tile = config.rasterisation_config.tile_size
+        loader = PrefetchLoader(
+            self.train_dataset, shuffle=True,
+            num_threads=config.num_data_threads, seed=config.seed,
+        )
+        data_iter = iter(loader)
+
+        feature_tx, position_tx = make_optimizers(config)
+        state = TrainState(
+            scene=self.scene,
+            feat_opt=feature_tx.init(self.scene.features),
+            pos_opt=position_tx.init(self.scene.xyz),
+            ctrl=ctrl.init_state(self.scene.capacity),
+        )
+
+        ccfg = config.adaptive_controller_config
+        downsample_factor = config.initial_downsample_factor
+        recent_losses = collections.deque(maxlen=100)
+        densify_info = None
+        t_start = time.time()
+
+        for iteration in range(config.num_iterations):
+            if (iteration % config.half_downsample_factor_interval == 0
+                    and iteration > 0 and downsample_factor > 1):
+                downsample_factor //= 2
+
+            item = next(data_iter)
+            if downsample_factor > 1:
+                item = downsample_item(item, downsample_factor, tile)
+            h, w = item.camera_info.camera_height, item.camera_info.camera_width
+            sh_band = iteration // config.increase_color_max_sh_band_interval
+
+            step = self._get_step(h, w)
+            state, metrics, aux = step(
+                state,
+                jnp.asarray(item.image),
+                jnp.asarray(item.q_pointcloud_camera),
+                jnp.asarray(item.t_pointcloud_camera),
+                jnp.asarray(item.camera_info.camera_intrinsics),
+                jnp.asarray(sh_band, jnp.int32),
+            )
+
+            # densification cadence (reference update/refinement :130-168).
+            # The selection runs on the post-optimizer-step scene (the
+            # reference snapshots pre-step positions, :171-175, but the only
+            # purpose — separating clones from originals — is already served
+            # by sample_from_point / grad-move; the one-Adam-step position
+            # delta is negligible and this keeps a single jitted step).
+            warm = iteration >= ccfg.num_iterations_warm_up
+            if warm and iteration % ccfg.num_iterations_densify == 0:
+                self.rng, k1, k2 = jax.random.split(self.rng, 3)
+                info = self.densify_find(
+                    state.scene, state.ctrl, aux["stats"], aux["point_depth"],
+                    k1, iteration > ccfg.iteration_start_remove_floater,
+                )
+                new_scene, new_ctrl = self.densify_apply(state.scene, info, k2)
+                state = state._replace(scene=new_scene, ctrl=new_ctrl)
+            if warm and iteration % ccfg.num_iterations_reset_alpha == 0:
+                state = state._replace(scene=self.alpha_reset(state.scene))
+
+            # scene-as-GMM Fourier analysis (reference :188-189)
+            if iteration and iteration % 1234 == 0:
+                try:
+                    from taichi_3d_gaussian_splatting_tpu.tools.ftgmm import (
+                        ft_grab_scene,
+                    )
+                    ft_grab_scene(
+                        state.scene,
+                        vis_dir=os.path.join(
+                            config.summary_writer_log_dir, "vis"),
+                    )
+                except Exception as e:  # analysis is diagnostic-only
+                    print(f"ftgmm analysis failed at {iteration}: {e}")
+
+            loss_val = float(metrics["loss"])
+            recent_losses.append(loss_val)
+            if iteration % config.log_loss_interval == 0:
+                self._scalar("train/loss", loss_val, iteration)
+                self._scalar("train/l1 loss", float(metrics["l1"]), iteration)
+                self._scalar("train/ssim loss", 1.0 - float(metrics["ssim"]),
+                             iteration)
+                self._console(
+                    train_iteration=iteration, train_loss=loss_val,
+                    train_l1_loss=float(metrics["l1"]),
+                    train_ssim_loss=1.0 - float(metrics["ssim"]),
+                )
+            if iteration % config.log_metrics_interval == 0:
+                p = float(metrics["psnr"])
+                s = float(metrics["ssim"])
+                self._scalar("train/psnr", p, iteration)
+                self._scalar("train/ssim", s, iteration)
+                nv = int(state.scene.num_valid())
+                self._scalar("train/num_valid_points", nv, iteration)
+                self._scalar("train/steps_per_s",
+                             (iteration + 1) / (time.time() - t_start),
+                             iteration)
+                self._console(train_psnr=p, train_ssim=s,
+                              **{f"train_psnr_{iteration}": p,
+                                 f"train_ssim_{iteration}": s})
+
+            if (iteration % config.val_interval == 0 and iteration != 0) \
+                    or iteration in (5000, 7000):
+                state = self._validate(state, iteration)
+
+        self.scene = state.scene
+        return state
+
+    # -- validation ------------------------------------------------------------
+
+    def _validate(self, state: TrainState, iteration: int) -> TrainState:
+        config = self.config
+        tile = config.rasterisation_config.tile_size
+        sh_band = min(iteration // config.increase_color_max_sh_band_interval, 3)
+        totals = collections.defaultdict(float)
+        n = 0
+        total_time = 0.0
+        for item in PrefetchLoader(self.val_dataset, shuffle=False,
+                                   loop=False,
+                                   num_threads=config.num_data_threads):
+            h, w = item.camera_info.camera_height, item.camera_info.camera_width
+            eval_step = self._get_eval(h, w)
+            t0 = time.time()
+            metrics, pred, depth = eval_step(
+                state.scene,
+                jnp.asarray(item.image),
+                jnp.asarray(item.q_pointcloud_camera),
+                jnp.asarray(item.t_pointcloud_camera),
+                jnp.asarray(item.camera_info.camera_intrinsics),
+                jnp.asarray(sh_band, jnp.int32),
+            )
+            jax.block_until_ready(metrics["loss"])
+            total_time += time.time() - t0
+            for k in ("loss", "l1", "psnr", "ssim_score"):
+                totals[k] += float(metrics[k])
+            n += 1
+        if n == 0:
+            return state
+        mean_psnr = totals["psnr"] / n
+        mean_ssim = totals["ssim_score"] / n
+        self._scalar("val/loss", totals["loss"] / n, iteration)
+        self._scalar("val/psnr", mean_psnr, iteration)
+        self._scalar("val/ssim", mean_ssim, iteration)
+        self._scalar("val/inference_time", total_time / n, iteration)
+        self._console(val_loss=totals["loss"] / n, val_psnr=mean_psnr,
+                      val_ssim=mean_ssim,
+                      **{f"val_psnr_{iteration}": mean_psnr,
+                         f"val_ssim_{iteration}": mean_ssim})
+
+        scene_path = os.path.join(self.output_model_dir,
+                                  f"scene_{iteration}.parquet")
+        scene_lib.to_parquet(state.scene, scene_path)
+        if mean_psnr > self.best_psnr_score:
+            self.best_psnr_score = mean_psnr
+            scene_lib.to_parquet(
+                state.scene,
+                os.path.join(self.output_model_dir, "best_scene.parquet"),
+            )
+        return state

@@ -1,0 +1,203 @@
+"""End-to-end training tests: jitted step convergence + trainer wiring.
+
+Ports the reference's convergence gate
+(tests/GaussianPointCloudRasterisation_test.py:284-351: fit a synthetic
+target image, loss must drop) at CPU-interpreter-friendly scale, plus a
+smoke test of the full GaussianPointCloudTrainer over an on-disk dataset.
+"""
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from taichi_3d_gaussian_splatting_tpu.models.scene import GaussianScene
+from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import RasterizerConfig
+from taichi_3d_gaussian_splatting_tpu.training import controller as ctrl
+from taichi_3d_gaussian_splatting_tpu.training.config import TrainConfig, from_dict
+from taichi_3d_gaussian_splatting_tpu.training.loss import LossConfig
+from taichi_3d_gaussian_splatting_tpu.training.trainer import (
+    TrainState,
+    make_optimizers,
+    make_train_step,
+)
+
+RCFG = RasterizerConfig(tile_size=32, key_cap=2048, interpret=True)
+
+
+def make_scene(n=128, seed=0):
+    rng = np.random.default_rng(seed)
+    xyz = np.stack(
+        [rng.uniform(-0.8, 0.8, n), rng.uniform(-0.8, 0.8, n),
+         rng.uniform(2.0, 4.0, n)], axis=-1
+    ).astype(np.float32)
+    feats = np.zeros((n, 56), np.float32)
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    feats[:, 0:4] = q / np.linalg.norm(q, axis=1, keepdims=True)
+    feats[:, 4:7] = -2.0
+    feats[:, 7] = 0.0
+    feats[:, 8] = rng.normal(size=n)
+    feats[:, 24] = rng.normal(size=n)
+    feats[:, 40] = rng.normal(size=n)
+    return GaussianScene(
+        xyz=jnp.asarray(xyz), features=jnp.asarray(feats),
+        invalid=jnp.zeros(n, bool), object_id=jnp.zeros(n, jnp.int32),
+    )
+
+
+def synthetic_target(hw=32):
+    y, x = np.mgrid[0:hw, 0:hw] / hw
+    img = np.stack([x, y, 0.5 * (x + y)], axis=-1).astype(np.float32)
+    return img
+
+
+Q_ID = jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32)
+T_ID = jnp.zeros(3, jnp.float32)
+K32 = jnp.asarray([[24.0, 0, 16.0], [0, 24.0, 16.0], [0, 0, 1.0]], jnp.float32)
+
+
+def make_config(**over):
+    base = dict(
+        rasterisation_config=RCFG,
+        loss_function_config=LossConfig(enable_regularization=False),
+        feature_learning_rate=5e-2,
+        position_learning_rate=1e-4,
+    )
+    base.update(over)
+    return TrainConfig(**base)
+
+
+class TestConvergence:
+    def test_loss_decreases_fitting_synthetic_image(self):
+        config = make_config()
+        scene = make_scene()
+        step = make_train_step(config, 32, 32)
+        ftx, ptx = make_optimizers(config)
+        state = TrainState(
+            scene=scene, feat_opt=ftx.init(scene.features),
+            pos_opt=ptx.init(scene.xyz), ctrl=ctrl.init_state(scene.capacity),
+        )
+        target = jnp.asarray(synthetic_target())
+        losses = []
+        for i in range(60):
+            state, metrics, _ = step(
+                state, target, Q_ID, T_ID, K32, jnp.asarray(0, jnp.int32)
+            )
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        early = np.mean(losses[:5])
+        late = np.mean(losses[-5:])
+        assert late < 0.7 * early, f"{early} -> {late}"
+
+    def test_densify_roundtrip_in_loop(self):
+        """Controller integration: densify+prune mid-training keeps the
+        pool consistent and training alive (reference
+        GaussianPointAdaptiveController_test.py:15-95)."""
+        config = make_config(
+            adaptive_controller_config=ctrl.ControllerConfig(
+                num_iterations_warm_up=0, num_iterations_densify=5,
+                densification_view_space_position_gradients_threshold=1e-8,
+                under_reconstructed_num_pixels_threshold=2,
+            ),
+        )
+        scene = make_scene(n=96)
+        scene = scene._replace(
+            invalid=scene.invalid.at[64:].set(True))  # head-room
+        step = make_train_step(config, 32, 32)
+        ftx, ptx = make_optimizers(config)
+        state = TrainState(
+            scene=scene, feat_opt=ftx.init(scene.features),
+            pos_opt=ptx.init(scene.xyz), ctrl=ctrl.init_state(scene.capacity),
+        )
+        target = jnp.asarray(synthetic_target())
+        ccfg = config.adaptive_controller_config
+        key = jax.random.PRNGKey(0)
+        first_loss = None
+        for i in range(12):
+            state, metrics, aux = step(
+                state, target, Q_ID, T_ID, K32, jnp.asarray(0, jnp.int32)
+            )
+            if first_loss is None:
+                first_loss = float(metrics["loss"])
+            if i > 0 and i % ccfg.num_iterations_densify == 0:
+                key, k1 = jax.random.split(key)
+                info = ctrl.find_densify(
+                    state.scene, state.ctrl, aux["stats"].in_camera,
+                    aux["stats"].num_affected_pixels,
+                    aux["stats"].magnitude_grad_viewspace,
+                    aux["point_depth"], False, ccfg,
+                )
+                new_scene = ctrl.apply_densify(state.scene, info, k1, ccfg)
+                state = state._replace(
+                    scene=new_scene, ctrl=ctrl.init_state(new_scene.capacity)
+                )
+        final_loss = float(metrics["loss"])
+        assert np.isfinite(final_loss)
+        assert final_loss < first_loss
+        assert int(state.scene.num_valid()) > 64  # densification happened
+
+
+class TestTrainerWiring:
+    @pytest.fixture()
+    def tiny_dataset(self, tmp_path):
+        from PIL import Image
+
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        records = []
+        for i in range(2):
+            arr = (synthetic_target(32) * 255).astype(np.uint8)
+            p = img_dir / f"{i}.png"
+            Image.fromarray(arr).save(p)
+            records.append({
+                "image_path": str(p),
+                "T_pointcloud_camera": np.eye(4).tolist(),
+                "camera_intrinsics": np.asarray(K32).tolist(),
+                "camera_height": 32, "camera_width": 32, "camera_id": 0,
+            })
+        train_json = tmp_path / "train.json"
+        val_json = tmp_path / "val.json"
+        train_json.write_text(json.dumps(records))
+        val_json.write_text(json.dumps(records[:1]))
+
+        import pandas as pd
+        rng = np.random.default_rng(0)
+        pts = np.stack(
+            [rng.uniform(-0.8, 0.8, 64), rng.uniform(-0.8, 0.8, 64),
+             rng.uniform(2.0, 4.0, 64)], axis=-1
+        )
+        df = pd.DataFrame(pts, columns=["x", "y", "z"])
+        pq = tmp_path / "points.parquet"
+        df.to_parquet(pq)
+        return tmp_path, str(train_json), str(val_json), str(pq)
+
+    def test_trainer_smoke(self, tiny_dataset):
+        from taichi_3d_gaussian_splatting_tpu.training.trainer import (
+            GaussianPointCloudTrainer,
+        )
+
+        tmp_path, train_json, val_json, pq = tiny_dataset
+        config = from_dict({
+            "train_dataset_json_path": train_json,
+            "val_dataset_json_path": val_json,
+            "pointcloud_parquet_path": pq,
+            "num_iterations": 4,
+            "val_interval": 3,
+            "initial_downsample_factor": 1,
+            "summary_writer_log_dir": str(tmp_path / "logs"),
+            "rasterisation_config": {
+                "tile_size": 32, "key_cap": 2048, "interpret": True,
+            },
+            "loss_function_config": {"enable_regularization": False},
+            "adaptive_controller_config": {"num_iterations_warm_up": 100},
+            "gaussian_point_cloud_scene_config": {
+                "max_num_points_ratio": 1.5,
+            },
+        })
+        trainer = GaussianPointCloudTrainer(config)
+        trainer.train()
+        # validation checkpoint written
+        assert os.path.exists(tmp_path / "logs" / "scene_3.parquet")
+        assert os.path.exists(tmp_path / "logs" / "best_scene.parquet")
