@@ -1,9 +1,12 @@
 """Stage-by-stage timing of the rasterization pipeline on the real TPU.
 
-Separates: attribute projection (jnp), tile-key build (sort-based), table
-build (gather+finalize), Pallas blend forward, blend backward, segment
-reduce — so optimization effort goes where the time is.
+IMPORTANT measurement note: through the axon tunnel, out-of-jit dispatch
+timing (block_until_ready loops) under-reports wildly — only in-jit
+`fori_loop` chains with data dependencies measure real device time. Every
+stage below is timed that way: the loop output feeds a scalar that the
+next iteration consumes, and one value is downloaded at the end.
 """
+import functools
 import time
 
 import numpy as np
@@ -12,12 +15,13 @@ import jax.numpy as jnp
 
 from taichi_3d_gaussian_splatting_tpu.ops import blend_pallas, tiling
 from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import (
-    Camera, RasterizerConfig, RawAttrs, _build_table, build_keys,
-    compute_raw_attrs, rasterize, rasterize_bwd, rasterize_fwd_ctx,
+    Camera, RasterizerConfig, _build_table, build_keys, compute_raw_attrs,
+    rasterize,
 )
 
 Q_ID = jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32)
 T_ID = jnp.asarray([0.0, 0.0, 0.0], jnp.float32)
+ITERS = 10
 
 
 def make_scene(n, seed=7, spread=4.0, zmax=20.0):
@@ -34,16 +38,46 @@ def make_scene(n, seed=7, spread=4.0, zmax=20.0):
     return jnp.asarray(xyz), jnp.asarray(feats), jnp.zeros((n,), bool)
 
 
-def bench(fn, *args, iters=20, name=""):
-    out = fn(*args)
+def bench_injit(stage_fn, perturb_arg, *args, name=""):
+    """Time ITERS data-dependent executions of stage_fn inside one jit.
+
+    stage_fn(*args) -> pytree; perturb_arg: index of the float array arg to
+    nudge by (prev_result * 0) to chain iterations without changing values.
+    """
+    def probe(out):
+        leaves = [l for l in jax.tree.leaves(out)
+                  if jnp.issubdtype(l.dtype, jnp.floating)]
+        if not leaves:
+            leaves = [jax.tree.leaves(out)[0].astype(jnp.float32)]
+        return leaves[0].ravel()[0].astype(jnp.float32)
+
+    def nudge(tree, carry):
+        done = [False]
+
+        def f(leaf):
+            if not done[0] and jnp.issubdtype(leaf.dtype, jnp.floating):
+                done[0] = True
+                return leaf + carry * 0.0
+            return leaf
+
+        return jax.tree.map(f, tree)
+
+    @jax.jit
+    def run(*a):
+        def body(i, carry):
+            a2 = list(a)
+            a2[perturb_arg] = nudge(a2[perturb_arg], carry)
+            return probe(stage_fn(*a2))
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
+
+    out = run(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters * 1e3
-    print(f"{name:28s} {dt:8.2f} ms")
-    return out, dt
+    out = run(*args)
+    _ = float(out)  # download forces real completion
+    dt = (time.perf_counter() - t0) / ITERS * 1e3
+    print(f"{name:30s} {dt:8.2f} ms", flush=True)
+    return dt
 
 
 def main():
@@ -55,57 +89,77 @@ def main():
     cfg = RasterizerConfig(tile_size=32, key_cap=2 ** 21, interpret=False,
                            extra_info=False)
     xyz, feats, invalid = make_scene(n)
-    print("devices:", jax.devices())
+    print("devices:", jax.devices(), flush=True)
 
-    attrs_fn = jax.jit(lambda x, f: compute_raw_attrs(x, f, Q_ID, T_ID, cam))
-    (raw, radius), _ = bench(attrs_fn, xyz, feats, name="attrs (project+SH)")
+    bench_injit(
+        lambda x, f: compute_raw_attrs(x, f, Q_ID, T_ID, cam),
+        0, xyz, feats, name="attrs (project+SH)")
 
-    keys_fn = jax.jit(lambda r, rad: build_keys(r, rad, invalid, cam, cfg))
-    (keys, visible), _ = bench(keys_fn, raw, radius, name="build_keys (sort)")
-    print(f"  total keys: {int(keys.total)} / cap {cfg.key_cap}")
+    (raw, radius) = jax.jit(
+        lambda x, f: compute_raw_attrs(x, f, Q_ID, T_ID, cam))(xyz, feats)
+    keys, visible = jax.jit(
+        lambda r, rad: build_keys(r, rad, invalid, cam, cfg))(raw, radius)
+    print(f"  total keys: {int(keys.total)} / cap {cfg.key_cap}", flush=True)
+
+    bench_injit(lambda r, rad: build_keys(r, rad, invalid, cam, cfg),
+                1, raw, radius, name="build_keys (tiling+sort)")
 
     tiles_x = w // cfg.tile_size
-    table_fn = jax.jit(lambda r, k: _build_table(r, k, tiles_x, cfg.tile_size))
-    table, _ = bench(table_fn, raw, keys, name="build table (gather)")
-
     tiles_y = h // cfg.tile_size
-    fwd_fn = jax.jit(lambda t, s, e: blend_pallas.blend_forward(
-        t, s, e, tile=cfg.tile_size, tiles_x=tiles_x, tiles_y=tiles_y))
-    out_tiles, _ = bench(fwd_fn, table, keys.tile_start, keys.tile_end,
-                         name="blend fwd (pallas)")
+    bench_injit(lambda r, k: _build_table(r, k, tiles_x, cfg.tile_size),
+                0, raw, keys, name="build table (gather)")
 
+    table = jax.jit(
+        lambda r, k: _build_table(r, k, tiles_x, cfg.tile_size))(raw, keys)
+
+    bench_injit(
+        functools.partial(blend_pallas.blend_forward, tile=cfg.tile_size,
+                          tiles_x=tiles_x, tiles_y=tiles_y),
+        0, table, keys.tile_start, keys.tile_end, name="blend fwd (pallas)")
+
+    out_tiles = jax.jit(functools.partial(
+        blend_pallas.blend_forward, tile=cfg.tile_size, tiles_x=tiles_x,
+        tiles_y=tiles_y))(table, keys.tile_start, keys.tile_end)
     g4 = jnp.ones((tiles_x * tiles_y, cfg.tile_size ** 2, 4), jnp.float32)
-    bwd_fn = jax.jit(lambda t, s, e, g, c: blend_pallas.blend_backward(
-        t, s, e, g, c, tile=cfg.tile_size, tiles_x=tiles_x, tiles_y=tiles_y,
-        extra_info=False))
     cfin = jnp.concatenate(
         [out_tiles[..., 0:3], jnp.zeros_like(out_tiles[..., 0:1])], axis=-1)
-    (d_table, _), _ = bench(bwd_fn, table, keys.tile_start, keys.tile_end,
-                            g4, cfin, name="blend bwd (pallas)")
+
+    bench_injit(
+        functools.partial(blend_pallas.blend_backward, tile=cfg.tile_size,
+                          tiles_x=tiles_x, tiles_y=tiles_y, extra_info=False),
+        0, table, keys.tile_start, keys.tile_end, g4, cfin,
+        name="blend bwd (pallas)")
+
+    d_table = jax.jit(functools.partial(
+        blend_pallas.blend_backward, tile=cfg.tile_size, tiles_x=tiles_x,
+        tiles_y=tiles_y, extra_info=False))(
+            table, keys.tile_start, keys.tile_end, g4, cfin)[0]
 
     from taichi_3d_gaussian_splatting_tpu.ops.segment_reduce import (
         segment_reduce,
     )
-    inv_fn = jax.jit(lambda k: tiling.inverse_permutation(k.orig_slot))
-    inv, _ = bench(inv_fn, keys, name="inverse permutation")
 
-    def gather_and_reduce(d_sorted, inv, keys):
-        d_orig = d_sorted[:, inv[: cfg.key_cap]]
+    def bwd_tail(d_sorted, keys):
+        d_orig = tiling.regroup_rows_by_slot(
+            d_sorted, keys.orig_slot, cfg.key_cap)
         slot = jnp.arange(cfg.key_cap, dtype=jnp.int32)
         d_orig = jnp.where((slot < keys.total)[None, :], d_orig, 0.0)
-        d_orig = jnp.pad(d_orig, ((0, 0), (0, 128)))
+        from taichi_3d_gaussian_splatting_tpu.ops import segment_reduce as sr
+        d_orig = jnp.pad(d_orig, ((0, 0), (0, sr.WINDOW)))
         return segment_reduce(d_orig, keys.offsets, keys.counts)
 
-    red_fn = jax.jit(gather_and_reduce)
-    bench(red_fn, d_table, inv, keys, name="bwd gather+segreduce")
+    bench_injit(bwd_tail, 0, d_table, keys, name="bwd inv+gather+segreduce")
 
-    full_fwd = jax.jit(lambda x, f: rasterize(
-        x, f, invalid, Q_ID, T_ID, cam, cfg).rgb)
-    bench(full_fwd, xyz, feats, name="FULL forward")
+    bench_injit(
+        lambda x, f: rasterize(x, f, invalid, Q_ID, T_ID, cam, cfg).rgb,
+        0, xyz, feats, name="FULL forward")
 
-    gfun = jax.jit(jax.grad(lambda x, f: jnp.sum(rasterize(
-        x, f, invalid, Q_ID, T_ID, cam, cfg).rgb), argnums=(0, 1)))
-    bench(gfun, xyz, feats, name="FULL fwd+bwd")
+    bench_injit(
+        lambda x, f: jax.grad(
+            lambda a, b: jnp.sum(
+                rasterize(a, b, invalid, Q_ID, T_ID, cam, cfg).rgb),
+            argnums=(0, 1))(x, f)[0],
+        0, xyz, feats, name="FULL fwd+bwd")
 
 
 if __name__ == "__main__":

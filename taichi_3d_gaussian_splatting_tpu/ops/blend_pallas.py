@@ -199,15 +199,33 @@ def _forward_kernel(
     # tests), 1 = product over included only (reported transmittance).
     t_ref[:] = jnp.ones((px_count, 8), jnp.float32)
 
-    def body(c, live):
-        @pl.when(live)
+    def get_dma(slot, c):
+        return pltpu.make_async_copy(
+            table_hbm.at[:, pl.ds(start + c * CHUNK, CHUNK)],
+            tab_ref.at[slot], sem.at[slot],
+        )
+
+    @pl.when(nch > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def body(c, carry):
+        # double-buffered: the next chunk streams while this one computes.
+        # `inflight` = a DMA for chunk c was started (it must be waited even
+        # if blending saturated meanwhile); `active` = still blending.
+        inflight, active = carry
+
+        @pl.when(inflight)
         def _():
-            dma = pltpu.make_async_copy(
-                table_hbm.at[:, pl.ds(start + c * CHUNK, CHUNK)], tab_ref, sem
-            )
-            dma.start()
-            dma.wait()
-            tab = tab_ref[:]
+            get_dma(c % 2, c).wait()
+
+        @pl.when(jnp.logical_and(active, c + 1 < nch))
+        def _():
+            get_dma((c + 1) % 2, c + 1).start()
+
+        @pl.when(active)
+        def _():
+            tab = tab_ref[c % 2]
             t_run = t_ref[:, 0:1]
             alpha_u, a, om, p_incl, t_excl, include, w, _, _ = _chunk_state(
                 tab, xy, n - c * CHUNK, t_run
@@ -230,9 +248,11 @@ def _forward_kernel(
             t_ref[:, 1:2] = jnp.minimum(t_ref[:, 1:2], t_fin)
 
         saturated = jnp.max(t_ref[:, 0:1]) < T_SATURATION_EPS
-        return jnp.logical_and(live, jnp.logical_not(saturated))
+        next_inflight = jnp.logical_and(active, c + 1 < nch)
+        next_active = jnp.logical_and(active, jnp.logical_not(saturated))
+        return next_inflight, next_active
 
-    jax.lax.fori_loop(0, nch, body, True)
+    jax.lax.fori_loop(0, nch, body, (nch > 0, True))
 
     out = jnp.concatenate(
         [acc_ref[:, 0:6], t_ref[:, 1:2], jnp.zeros((px_count, 1), jnp.float32)],
@@ -261,10 +281,10 @@ def blend_forward(
             (1, px_count, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((16, CHUNK), jnp.float32),
+            pltpu.VMEM((2, 16, CHUNK), jnp.float32),  # double buffer
             pltpu.VMEM((px_count, 8), jnp.float32),
             pltpu.VMEM((px_count, 8), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -315,20 +335,48 @@ def _backward_kernel(
     )
     imggrad_ref[0] = jnp.zeros((px_count, 2), jnp.float32)
 
-    def body(c, live):
-        @pl.when(jnp.logical_not(live))
-        def _():
-            drow_ref[:] = jnp.zeros((16, CHUNK), jnp.float32)
+    def get_in_dma(slot, c):
+        return pltpu.make_async_copy(
+            table_hbm.at[:, pl.ds(start + c * CHUNK, CHUNK)],
+            tab_ref.at[slot], in_sem.at[slot],
+        )
 
-        @pl.when(live)
+    def get_out_dma(slot, c):
+        return pltpu.make_async_copy(
+            drow_ref.at[slot],
+            dtab_hbm.at[:, pl.ds(start + c * CHUNK, CHUNK)],
+            out_sem.at[slot],
+        )
+
+    @pl.when(nch > 0)
+    def _():
+        get_in_dma(0, 0).start()
+
+    def body(c, state):
+        # double-buffered in/out: inflight = in-DMA(c) started; active =
+        # still blending. The out-DMA runs every chunk (zeros when idle);
+        # wait out-DMA(c-2) before reusing its drow slot.
+        inflight, active = state
+
+        @pl.when(inflight)
         def _():
-            dma = pltpu.make_async_copy(
-                table_hbm.at[:, pl.ds(start + c * CHUNK, CHUNK)], tab_ref,
-                in_sem,
-            )
-            dma.start()
-            dma.wait()
-            tab = tab_ref[:]
+            get_in_dma(c % 2, c).wait()
+
+        @pl.when(jnp.logical_and(active, c + 1 < nch))
+        def _():
+            get_in_dma((c + 1) % 2, c + 1).start()
+
+        @pl.when(c >= 2)
+        def _():
+            get_out_dma(c % 2, c - 2).wait()
+
+        @pl.when(jnp.logical_not(active))
+        def _():
+            drow_ref[c % 2] = jnp.zeros((16, CHUNK), jnp.float32)
+
+        @pl.when(active)
+        def _():
+            tab = tab_ref[c % 2]
             t_run = carry_ref[:, 0:1]
             ga_prev = carry_ref[:, 1:2]
             alpha_u, a, om, p_incl, t_excl, include, w, dx, dy = _chunk_state(
@@ -400,21 +448,28 @@ def _backward_kernel(
                 axis=0,
             )  # (16, CHUNK)
             lane16 = jax.lax.broadcasted_iota(jnp.int32, (16, CHUNK), 1)
-            drow_ref[:] = jnp.where(lane16 < n - c * CHUNK, drows, 0.0)
+            drow_ref[c % 2] = jnp.where(lane16 < n - c * CHUNK, drows, 0.0)
 
             carry_ref[:, 0:1] = p_incl[:, CHUNK - 1 : CHUNK]
             carry_ref[:, 1:2] = ga[:, CHUNK - 1 : CHUNK]
 
-        out_dma = pltpu.make_async_copy(
-            drow_ref, dtab_hbm.at[:, pl.ds(start + c * CHUNK, CHUNK)], out_sem
-        )
-        out_dma.start()
-        out_dma.wait()
+        get_out_dma(c % 2, c).start()
 
         saturated = jnp.max(carry_ref[:, 0:1]) < T_SATURATION_EPS
-        return jnp.logical_and(live, jnp.logical_not(saturated))
+        next_inflight = jnp.logical_and(active, c + 1 < nch)
+        next_active = jnp.logical_and(active, jnp.logical_not(saturated))
+        return next_inflight, next_active
 
-    jax.lax.fori_loop(0, nch, body, True)
+    jax.lax.fori_loop(0, nch, body, (nch > 0, True))
+
+    # drain the last two out-DMAs
+    @pl.when(nch >= 2)
+    def _():
+        get_out_dma((nch - 2) % 2, nch - 2).wait()
+
+    @pl.when(nch >= 1)
+    def _():
+        get_out_dma((nch - 1) % 2, nch - 1).wait()
 
 
 def blend_backward(
@@ -448,11 +503,11 @@ def blend_backward(
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((16, CHUNK), jnp.float32),
-            pltpu.VMEM((16, CHUNK), jnp.float32),
+            pltpu.VMEM((2, 16, CHUNK), jnp.float32),  # in double buffer
+            pltpu.VMEM((2, 16, CHUNK), jnp.float32),  # out double buffer
             pltpu.VMEM((px_count, 8), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(

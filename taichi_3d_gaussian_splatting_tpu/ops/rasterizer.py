@@ -39,6 +39,7 @@ from taichi_3d_gaussian_splatting_tpu.ops.attributes import (
     compute_point_attributes,
     frustum_cull_mask,
 )
+from taichi_3d_gaussian_splatting_tpu.ops import segment_reduce as segment_reduce_mod
 from taichi_3d_gaussian_splatting_tpu.ops.segment_reduce import segment_reduce
 from taichi_3d_gaussian_splatting_tpu.ops.transforms import (
     inverse_qt,
@@ -187,15 +188,17 @@ def _blend_bwd_impl(raw, keys, table, out_tiles, d_rgb_tiles, tile, grid_hw,
         extra_info=cfg.extra_info, interpret=cfg.interpret,
     )
 
-    # tile-layout order -> original-key order -> per-point rows. Slots
+    # tile-layout order -> original-key order -> per-point rows, realized
+    # as one payload-riding sort (tiling.regroup_rows_by_slot). Slots
     # beyond the true key count were never written by any tile
     # (uninitialized output memory) — zero them so the reduction matmul
     # can't be poisoned.
-    inv = tiling.inverse_permutation(keys.orig_slot)
-    d_orig = d_table_sorted[:, inv[: cfg.key_cap]]  # (16, key_cap)
+    d_orig = tiling.regroup_rows_by_slot(
+        d_table_sorted, keys.orig_slot, cfg.key_cap
+    )  # (16, key_cap)
     slot = jnp.arange(cfg.key_cap, dtype=jnp.int32)
     d_orig = jnp.where((slot < keys.total)[None, :], d_orig, 0.0)
-    d_orig = jnp.pad(d_orig, ((0, 0), (0, CHUNK)))
+    d_orig = jnp.pad(d_orig, ((0, 0), (0, segment_reduce_mod.WINDOW)))
     per_point = segment_reduce(
         d_orig, keys.offsets, keys.counts, interpret=cfg.interpret
     )[: raw.uv.shape[0]]

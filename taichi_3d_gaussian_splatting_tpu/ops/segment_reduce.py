@@ -6,13 +6,15 @@ per-point rows. Replaces the reference backward's atomic adds into
 per-point buffers (GaussianPointCloudRasterisation.py:674-696).
 
 Why a kernel: XLA's scatter-add / segment_sum on TPU measured ~170-200 ms
-for 2M x 12 rows (see PLAN.md); this kernel streams the rows once
-(sequential grid) and resolves key->point ownership with a boolean
-membership matrix contracted on the MXU:
-  out_block (PB, 16) += member (PB, CHUNK) @ rows_chunk (16, CHUNK)^T.
+for 2M x 12 rows (see PLAN.md); a prefix-sum + boundary-gather alternative
+is fast but numerically unsafe (cancellation against the global prefix
+magnitude). This kernel streams the rows once per point-block (sequential
+grid, double-buffered WINDOW-sized DMAs) and resolves key->point ownership
+with a boolean membership matrix contracted on the MXU:
+  out_block (PB, 16) += member (PB, WINDOW) @ rows_window (16, WINDOW)^T.
 
 Input rows are struct-of-arrays (16, cols) like the blend kernels' output;
-DMA windows are (16, CHUNK) at CHUNK-aligned lane offsets (the kernel
+DMA windows are (16, WINDOW) at WINDOW-aligned lane offsets (the kernel
 aligns each block's window itself — membership masking makes the extra
 lanes harmless).
 """
@@ -23,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK = 128
+WINDOW = 512         # lanes per DMA/matmul step (4 chunks amortize latency)
 POINT_BLOCK = 256
 
 
@@ -41,35 +43,46 @@ def _kernel(
     b = pl.program_id(0)
     lo = block_lo_ref[b]
     hi = block_hi_ref[b]
-    lo_al = pl.multiple_of((lo // CHUNK) * CHUNK, CHUNK)
-    nch = pl.cdiv(hi - lo_al, CHUNK)
+    lo_al = pl.multiple_of((lo // WINDOW) * WINDOW, WINDOW)
+    nwin = pl.cdiv(hi - lo_al, WINDOW)
 
     off_lo = offsets_ref[0, :, 0:1]   # (PB, 1) segment starts
     off_hi = offsets_ref[0, :, 1:2]   # (PB, 1) segment ends
 
+    def get_dma(slot, w):
+        return pltpu.make_async_copy(
+            rows_hbm.at[:, pl.ds(lo_al + w * WINDOW, WINDOW)],
+            row_ref.at[slot], sem.at[slot],
+        )
+
+    @pl.when(nwin > 0)
+    def _():
+        get_dma(0, 0).start()
+
     out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    def body(c, _):
-        base = lo_al + c * CHUNK
-        dma = pltpu.make_async_copy(
-            rows_hbm.at[:, pl.ds(base, CHUNK)], row_ref, sem
-        )
-        dma.start()
-        dma.wait()
+    def body(w, acc):
+        @pl.when(w + 1 < nwin)
+        def _():
+            get_dma((w + 1) % 2, w + 1).start()
+
+        get_dma(w % 2, w).wait()
+        base = lo_al + w * WINDOW
         gid = base + jax.lax.broadcasted_iota(
-            jnp.int32, (POINT_BLOCK, CHUNK), 1
+            jnp.int32, (POINT_BLOCK, WINDOW), 1
         )  # global key index, broadcast over points
         member = jnp.logical_and(gid >= off_lo, gid < off_hi).astype(
             jnp.float32
         )
-        out_ref[0] = out_ref[0] + jax.lax.dot_general(
-            member, row_ref[:], (((1,), (1,)), ((), ())),
+        return acc + jax.lax.dot_general(
+            member, row_ref[w % 2], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        return 0
 
-    jax.lax.fori_loop(0, nch, body, 0)
+    out_ref[0] = jax.lax.fori_loop(
+        0, nwin, body, jnp.zeros((POINT_BLOCK, 16), jnp.float32)
+    )
 
 
 def segment_reduce(
@@ -79,7 +92,7 @@ def segment_reduce(
     *, interpret: bool = False,
 ) -> jnp.ndarray:
     """Per-point sums (N_padded_to_block, 16). ``rows`` must be padded with
-    at least CHUNK extra lanes beyond the largest segment end."""
+    at least WINDOW extra lanes beyond the largest segment end."""
     n = offsets.shape[0]
     nb = (n + POINT_BLOCK - 1) // POINT_BLOCK
     n_pad = nb * POINT_BLOCK
@@ -104,8 +117,8 @@ def segment_reduce(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((16, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, 16, WINDOW), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(

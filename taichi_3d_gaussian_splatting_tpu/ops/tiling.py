@@ -4,19 +4,33 @@ Behavioral reference: GaussianPointCloudRasterisation.py:81-236 (K2: overlap
 counts, K3: key expansion, torch cumsum :913 / radix sort :947, K4: tile
 ranges :175-193).
 
-TPU redesign (measured on v5e, see PLAN.md):
-- XLA scatters are slow (~5 ms/M updates) and gathers mediocre; the GPU
-  recipe "scatter keys -> radix sort -> gather" is replaced by:
-  * dense overlap counts over all N pool slots (masked),
-  * run-length decode of key slots WITHOUT per-key scatter: one N-sized
-    scatter-add of marks + a cumsum over the static key capacity,
-  * one `jax.lax.sort` over (tile_id, depth_key) int32 pairs,
-  * tile ranges via searchsorted with only num_tiles queries.
-- The key buffer has a static capacity `key_cap`; slots beyond the actual
-  total get tile_id = num_tiles (a sentinel) and sort to the end, outside
-  every real tile's range. If the true total exceeds key_cap, the surplus
-  keys of the highest-index points are dropped (the returned `total` lets
-  callers detect this and grow the capacity).
+TPU redesign, driven by measured v5e cost cliffs (scripts/tpu_breakdown.py;
+all numbers at 1M keys / 2M capacity):
+- single-column random gathers are catastrophic (~15 us/element — XLA
+  lowers them to serial dynamic slices); even sorted-index 1-col gathers
+  cost ~19 ms. Multi-column ROW gathers (~8 cols) take ~13 ms total.
+- `lax.sort` is nearly free by comparison (~6-7 ms for 2M keys) and extra
+  payload operands are free — so data should ride ALONG sorts, never be
+  gathered after them.
+- scatter-adds are ~20 ms for (N, 8) rows; cumsums ~3 ms.
+
+Consequently this module performs ZERO single-column gathers:
+1. per-point key expansion is a "diff-scatter + cumsum" broadcast: all
+   per-point columns (offset, bbox, depth key) are written once as row
+   DIFFS at each point's first key slot and integrated with one cumsum —
+   ties from zero-count points telescope to the owning point;
+2. tile id and depth quantizer fuse into ONE int32 sort key
+   (tid << depth_bits | dkey), sorted once with the point index and the
+   pre-sort slot riding as payloads;
+3. the chunk-aligned re-layout decodes per-slot tile metadata with a second
+   diff-scatter + cumsum (over tiles) and realizes the permutation with a
+   single 2-column row gather at monotone indices.
+
+The key buffer has a static capacity `key_cap`; slots beyond the actual
+total get the sentinel tile id and sort to the end, outside every real
+tile's range. If the true total exceeds key_cap, the surplus keys of the
+highest-index points are dropped (the returned `total` lets callers detect
+this and grow the capacity).
 
 Tiles are TILE x TILE pixels (default 32 on TPU: fewer keys to sort/gather
 at +35% pixel-pair work, the right trade on this hardware; the reference's
@@ -94,6 +108,35 @@ class TileKeys(NamedTuple):
     total: jnp.ndarray        # () int32 true number of keys (may exceed cap)
 
 
+def _expand_columns(cols: jnp.ndarray, offsets: jnp.ndarray, cap: int):
+    """Broadcast per-point rows to key slots without gathers.
+
+    cols: (N, C) int32 per-point values; offsets: (N,) their first key slot
+    (non-decreasing). Returns (cap, C) where slot k holds the values of the
+    LAST point whose offset <= k — for slots inside a point's key range
+    that is exactly the owning point (zero-count points share an offset
+    with their successor and telescope away).
+
+    Mechanism: scatter-ADD consecutive row differences at the offsets, then
+    integrate with one cumsum. Sums of ties telescope, so the cumsum equals
+    the last tied row. Costs one (N, C) scatter-add + one (cap, C) cumsum —
+    both measured fast — instead of C single-column gathers (measured
+    catastrophically slow on TPU).
+    """
+    diffs = jnp.diff(cols, axis=0, prepend=jnp.zeros((1, cols.shape[1]),
+                                                     cols.dtype))
+    grid = jnp.zeros((cap, cols.shape[1]), cols.dtype)
+    grid = grid.at[offsets].add(diffs, mode="drop")
+    return jnp.cumsum(grid, axis=0)
+
+
+def _depth_bits(num_tiles: int) -> int:
+    """Bits available for the depth key under the fused int32 sort key
+    (capped so h + 128*dkey also fits an int32 in the packed expansion)."""
+    tid_bits = max(int(num_tiles + 1).bit_length(), 1)
+    return min(31 - tid_bits, 23)
+
+
 def build_tile_keys(
     uv: jnp.ndarray,
     depth: jnp.ndarray,
@@ -108,13 +151,14 @@ def build_tile_keys(
     """Expand visible splats into per-tile keys and depth-sort within tiles.
 
     The depth key is int32(depth * scale), matching the reference's
-    fixed-point encoding (GaussianPointCloudRasterisation.py:159-170); the
-    (tile, depth) pair is sorted with a two-key lax.sort instead of packing
-    into an int64.
+    fixed-point encoding (GaussianPointCloudRasterisation.py:159-170),
+    clamped to the bits left beside the tile id in the fused sort key
+    (beyond-range depths saturate and fall back to stable slot order).
     """
     n = uv.shape[0]
     tiles_u = width // tile
     num_tiles = tiles_u * (height // tile)
+    dbits = _depth_bits(num_tiles)
 
     bbox = tile_bbox(uv, radius, width, height, tile)
     counts = (bbox.max_u - bbox.min_u) * (bbox.max_v - bbox.min_v)
@@ -123,57 +167,80 @@ def build_tile_keys(
     offsets = jnp.cumsum(counts) - counts  # exclusive
     total = offsets[-1] + counts[-1]
 
-    # Run-length decode: point_of_slot[k] = index of the point owning key k.
-    # marks[offsets[p]] += 1 for every p (zero-count points collapse onto the
-    # next real offset; inclusive-cumsum - 1 then resolves ties to the last
-    # tied point, which is the owning one).
-    marks = jnp.zeros((key_cap,), jnp.int32).at[offsets].add(1, mode="drop")
-    point_of_slot = jnp.cumsum(marks) - 1  # (key_cap,)
+    dkey_pt = jnp.clip(
+        (depth * depth_to_sort_key_scale).astype(jnp.int32),
+        0, (1 << dbits) - 1,
+    )
+    h_pt = bbox.max_v - bbox.min_v
+    ridx = jnp.arange(1, n + 1, dtype=jnp.int32)  # running index: diff == 1
+    # The expansion is LINEAR (diff -> scatter-add -> cumsum), so multiple
+    # small fields pack into one column as linear combinations and unpack
+    # after: base = min_u + tiles_u*min_v is exactly the tid base; hk packs
+    # the bbox height (7 bits: h <= tiles_v <= 128 at 4096 px) beside
+    # the depth key. 4 columns — the scatter-add cost cliff sits above 4.
+    base_pt = bbox.min_u + tiles_u * bbox.min_v
+    hk_pt = h_pt + 128 * dkey_pt
+    cols = jnp.stack([ridx, offsets, base_pt, hk_pt], axis=1)
+    E = _expand_columns(cols, offsets, key_cap)  # (key_cap, 4)
+    p = E[:, 0] - 1                  # owning point per key slot
+    offs_e = E[:, 1]
+    base_e = E[:, 2]
+    h_e = E[:, 3] % 128
+    dkey_e = E[:, 3] // 128
 
     slot = jnp.arange(key_cap, dtype=jnp.int32)
     valid = slot < total
-    p = jnp.clip(point_of_slot, 0, n - 1)
-    j = slot - offsets[p]
 
     # Decode local tile index j -> (du, dv): u-major like the reference
     # (K3 :152-157: tile_u outer loop, tile_v inner).
-    h_p = (bbox.max_v - bbox.min_v)[p]
-    du = j // jnp.maximum(h_p, 1)
-    dv = j - du * jnp.maximum(h_p, 1)
-    tu = bbox.min_u[p] + du
-    tv = bbox.min_v[p] + dv
-    tid = jnp.where(valid, tu + tv * tiles_u, num_tiles).astype(jnp.int32)
-
-    dkey = (depth[p] * depth_to_sort_key_scale).astype(jnp.int32)
-    dkey = jnp.where(valid, dkey, jnp.iinfo(jnp.int32).max)
-
-    tid_s, _, pidx_s, orig_s = jax.lax.sort(
-        (tid, dkey, p.astype(jnp.int32), slot), num_keys=2
+    j = slot - offs_e
+    hh = jnp.maximum(h_e, 1)
+    du = j // hh
+    dv = j - du * hh
+    tid = jnp.where(valid, base_e + du + dv * tiles_u, num_tiles)
+    fused = jnp.where(
+        valid,
+        (tid << dbits) | dkey_e,
+        jnp.int32(((num_tiles + 1) << dbits) - 1),
     )
 
-    # Per-tile ranges: num_tiles+1 binary searches over the sorted tile ids.
+    fused_s, pidx_s, orig_s = jax.lax.sort(
+        (fused, jnp.where(valid, p, n).astype(jnp.int32), slot),
+        num_keys=1, is_stable=True,
+    )
+    tid_s = jax.lax.shift_right_logical(fused_s, dbits)
+
+    # Per-tile ranges over the sorted tile ids. method="sort" merges the
+    # queries into one cheap lax.sort; the default binary-search lowering
+    # costs ~14 us PER QUERY ELEMENT on TPU (serial dynamic slices).
     bounds = jnp.searchsorted(
-        tid_s, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+        tid_s, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left",
+        method="sort",
     ).astype(jnp.int32)
     counts_t = bounds[1:] - bounds[:-1]
 
-    # Re-layout into the CHUNK-aligned space: same run-length-decode trick
-    # as above, this time over tiles (num_tiles marks + one cumsum).
+    # Re-layout into the CHUNK-aligned space. Per-slot tile metadata comes
+    # from a second diff-scatter + cumsum over the tiles; the permutation
+    # itself is ONE 2-column row gather at monotone indices.
     cap_pad = padded_capacity(key_cap, num_tiles)
     padded_len = ((counts_t + CHUNK - 1) // CHUNK) * CHUNK
     padded_start = jnp.cumsum(padded_len) - padded_len
-    marks_t = jnp.zeros((cap_pad,), jnp.int32).at[padded_start].add(
-        1, mode="drop"
+    tcols = jnp.stack(
+        [jnp.arange(1, num_tiles + 1, dtype=jnp.int32), bounds[:-1],
+         padded_start, counts_t], axis=1,
     )
-    tile_of_pad = jnp.clip(jnp.cumsum(marks_t) - 1, 0, num_tiles - 1)
-    j_local = jnp.arange(cap_pad, dtype=jnp.int32) - padded_start[tile_of_pad]
-    src = jnp.clip(bounds[:-1][tile_of_pad] + j_local, 0, key_cap - 1)
-    real = j_local < counts_t[tile_of_pad]
+    TE = _expand_columns(tcols, padded_start, cap_pad)
+    tile_of_pad = jnp.clip(TE[:, 0] - 1, 0, num_tiles - 1)
+    bounds_e, pstart_e, counts_e = TE[:, 1], TE[:, 2], TE[:, 3]
+    pad_slot = jnp.arange(cap_pad, dtype=jnp.int32)
+    j_local = pad_slot - pstart_e
+    real = j_local < counts_e
+    src = jnp.clip(bounds_e + j_local, 0, key_cap - 1)
 
-    point_idx = jnp.where(real, pidx_s[src], n)
-    orig_slot = jnp.where(
-        real, orig_s[src], key_cap + jnp.arange(cap_pad, dtype=jnp.int32)
-    )
+    stacked = jnp.stack([pidx_s, orig_s], axis=1)  # (key_cap, 2)
+    rows = stacked[src]
+    point_idx = jnp.where(real, rows[:, 0], n)
+    orig_slot = jnp.where(real, rows[:, 1], key_cap + pad_slot)
 
     return TileKeys(
         point_idx=point_idx,
@@ -188,18 +255,31 @@ def build_tile_keys(
     )
 
 
+def regroup_rows_by_slot(rows: jnp.ndarray, orig_slot: jnp.ndarray,
+                         key_cap: int) -> jnp.ndarray:
+    """(R, cap_pad) tile-layout rows -> (R, key_cap) original key order.
+
+    Sorts by ``orig_slot`` with every row riding as a payload — measured
+    ~free next to any gather-based inverse permutation (payload operands
+    barely change lax.sort cost, while the lane-gather alternative costs
+    tens of ms). Every original slot in [0, key_cap) appears exactly once
+    (real keys and never-laid-out slots alike), so sorted position i IS
+    original slot i; layout padding (orig_slot >= key_cap) sorts to the
+    tail and is cropped.
+    """
+    operands = (orig_slot,) + tuple(rows[i] for i in range(rows.shape[0]))
+    out = jax.lax.sort(operands, num_keys=1, is_stable=False)
+    return jnp.stack(out[1:], axis=0)[:, :key_cap]
+
+
 def inverse_permutation(orig_slot: jnp.ndarray) -> jnp.ndarray:
     """sorted-order -> original-order permutation, via one extra sort.
 
-    inv[o] = position of original slot o in the sorted array. Used by the
-    backward pass to bring per-key gradients back to the contiguous
-    per-point layout before the ragged segment reduction. A sort is used
-    instead of a scatter (scatters are slower than sorts on TPU for this
-    size; see PLAN.md measurements).
+    inv[o] = position of original slot o in the sorted array. Kept for
+    tests/tools; the backward path uses regroup_rows_by_slot instead
+    (payload-riding sort beats gather-by-inv on TPU).
     """
     cap_pad = orig_slot.shape[0]
     pos = jnp.arange(cap_pad, dtype=jnp.int32)
     sorted_orig, inv = jax.lax.sort((orig_slot, pos), num_keys=1)
-    # Entries [0, total) are the real keys; later entries map padding/sentinel
-    # slots to garbage rows, which callers mask with (slot < total).
     return inv
