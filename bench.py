@@ -1,9 +1,10 @@
-"""Benchmark harness: rasterizer forward (+ backward) on Truck-scale scenes.
+"""Benchmark harness: rasterizer forward on a Truck-scale synthetic scene.
 
 Protocol mirrors the reference benchmark/inference_benchmark.py (warm-up
-then timed frames, device-event timing); scene size matches the published
-Truck 30k checkpoint (~4.3e5 points) and the ~980x545 val views, cropped to
-the 32-px TPU tile (960x544).
+then timed frames); scene size matches the published Truck 30k checkpoint
+(~4.3e5 points) and the ~980x545 val views, cropped to the 32-px TPU tile
+(960x544). Timing runs as an in-jit fori_loop chain (out-of-jit dispatch
+timing under-reports through the remote-TPU tunnel).
 
 Reference baseline (benchmark/README.md:13-17): 20.07 ms/frame forward on
 an RTX 3090 at 4.6e5 points -> 26.0 Mpix/s. vs_baseline below is the ratio
@@ -25,7 +26,6 @@ import jax.numpy as jnp
 
 N_POINTS = 428_687          # Truck 30k checkpoint size (README.md:70)
 HEIGHT, WIDTH = 544, 960    # ~980x546 val views cropped to 32-px tiles
-WARMUP = 5
 TIMED = 20
 
 REF_MS = 20.07              # RTX 3090 forward ms/frame (benchmark/README.md)
@@ -54,12 +54,10 @@ def main():
     from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import (
         Camera, RasterizerConfig, rasterize,
     )
+    from taichi_3d_gaussian_splatting_tpu.training.trainer import fit_key_cap
 
     platform = jax.devices()[0].platform
     interpret = platform == "cpu"
-    cfg = RasterizerConfig(
-        tile_size=32, key_cap=2**21, interpret=interpret, extra_info=False,
-    )
     xyz, feats = synthetic_truck_scene(N_POINTS)
     invalid = jnp.zeros((N_POINTS,), bool)
     q = jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32)
@@ -70,18 +68,37 @@ def main():
     )
     camera = Camera(K=K, width=WIDTH, height=HEIGHT)
 
-    @jax.jit
-    def fwd(xyz, feats, q, t):
-        return rasterize(xyz, feats, invalid, q, t, camera, cfg).rgb
+    def render(cfg, x, f):
+        return rasterize(x, f, invalid, q, t, camera, cfg).rgb
 
-    out = fwd(xyz, feats, q, t)
-    jax.block_until_ready(out)
-    for _ in range(WARMUP):
-        jax.block_until_ready(fwd(xyz, feats, q, t))
+    # size the static key capacity to the live key count (what the trainer
+    # does continuously via fit_key_cap)
+    probe_cfg = RasterizerConfig(tile_size=32, key_cap=2**21,
+                                 interpret=interpret, extra_info=False)
+    from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import (
+        build_keys, compute_raw_attrs,
+    )
+
+    raw, radius = jax.jit(
+        lambda x, f: compute_raw_attrs(x, f, q, t, camera))(xyz, feats)
+    keys, _ = jax.jit(
+        lambda r, rad: build_keys(r, rad, invalid, camera, probe_cfg)
+    )(raw, radius)
+    cap = fit_key_cap(int(keys.total))
+    cfg = RasterizerConfig(tile_size=32, key_cap=cap, interpret=interpret,
+                           extra_info=False)
+
+    @jax.jit
+    def timed_chain(x, f):
+        def body(i, carry):
+            out = render(cfg, x + carry * 0.0, f)
+            return out[0, 0, 0].astype(jnp.float32)
+        return jax.lax.fori_loop(0, TIMED, body, jnp.float32(0))
+
+    out = timed_chain(xyz, feats)
+    jax.block_until_ready(out)  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(TIMED):
-        out = fwd(xyz, feats, q, t)
-    jax.block_until_ready(out)
+    _ = float(timed_chain(xyz, feats))
     ms = (time.perf_counter() - t0) / TIMED * 1e3
 
     mpix_s = (HEIGHT * WIDTH / 1e6) / (ms / 1e3)

@@ -1,0 +1,186 @@
+"""Synthetic end-to-end quality run: fit a procedurally generated scene.
+
+No external datasets exist in this environment (zero egress), so the
+quality gate is self-contained: render ground-truth views of a procedural
+Gaussian scene with the oracle-verified renderer, write them to disk as a
+standard dataset (PNG + train.json/val.json + point_cloud.parquet with
+noisy/subsampled init points, mimicking COLMAP output), then run the FULL
+trainer — data loader, jitted steps, adaptive densification, alpha resets,
+validation checkpoints — and report val PSNR.
+
+Usage: python scripts/quality_run.py [--iterations 2000] [--out /tmp/qrun]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def make_gt_scene(rng, n_clusters=40, pts_per_cluster=400):
+    """Blobby clustered scene with varied color/scale/opacity."""
+    centers = rng.uniform(-2.0, 2.0, (n_clusters, 3))
+    centers[:, 2] = rng.uniform(-1.0, 1.0, n_clusters)
+    xyz, feats = [], []
+    for c in centers:
+        k = pts_per_cluster
+        p = c + rng.normal(0, 0.25, (k, 3))
+        f = np.zeros((k, 56), np.float32)
+        q = rng.normal(size=(k, 4))
+        f[:, 0:4] = q / np.linalg.norm(q, axis=1, keepdims=True)
+        f[:, 4:7] = rng.uniform(-4.2, -3.0, (k, 3))
+        f[:, 7] = rng.uniform(0.0, 4.0, k)
+        base = rng.uniform(-2.5, 2.5, 3)
+        f[:, 8] = base[0] + rng.normal(0, 0.3, k)
+        f[:, 24] = base[1] + rng.normal(0, 0.3, k)
+        f[:, 40] = base[2] + rng.normal(0, 0.3, k)
+        # mild view dependence on band 1
+        f[:, 9:12] = rng.normal(0, 0.1, (k, 3))
+        xyz.append(p)
+        feats.append(f)
+    return (np.concatenate(xyz).astype(np.float32),
+            np.concatenate(feats).astype(np.float32))
+
+
+def ring_cameras(n, radius=6.0, height=1.5, hw=256, fov_f=300.0):
+    """Cameras on a ring looking at the origin (x right, y down, z fwd)."""
+    cams = []
+    K = np.asarray([[fov_f, 0, hw / 2], [0, fov_f, hw / 2], [0, 0, 1.0]],
+                   np.float32)
+    for i in range(n):
+        th = 2 * np.pi * i / n
+        pos = np.asarray([radius * np.cos(th), -height, radius * np.sin(th)])
+        fwd = -pos / np.linalg.norm(pos)
+        up_w = np.asarray([0.0, -1.0, 0.0])
+        right = np.cross(up_w, fwd); right /= np.linalg.norm(right)
+        down = np.cross(fwd, right)
+        R = np.stack([right, down, fwd], axis=1)  # camera->world columns
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R
+        T[:3, 3] = pos
+        cams.append((T, K))
+    return cams
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--iterations", type=int, default=2000)
+    parser.add_argument("--views", type=int, default=48)
+    parser.add_argument("--hw", type=int, default=256)
+    parser.add_argument("--out", type=str, default="/tmp/quality_run")
+    args = parser.parse_args()
+
+    from PIL import Image
+    import pandas as pd
+
+    from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import (
+        Camera, RasterizerConfig, rasterize,
+    )
+    from taichi_3d_gaussian_splatting_tpu.ops.transforms import se3_to_qt
+
+    rng = np.random.default_rng(0)
+    os.makedirs(f"{args.out}/imgs", exist_ok=True)
+    gt_xyz, gt_feats = make_gt_scene(rng)
+    n = gt_xyz.shape[0]
+    print(f"GT scene: {n} gaussians", flush=True)
+
+    cams = ring_cameras(args.views, hw=args.hw)
+    rcfg = RasterizerConfig(
+        tile_size=32, key_cap=2**19,
+        interpret=jax.devices()[0].platform == "cpu",
+    )
+    camera = Camera(K=jnp.asarray(cams[0][1]), width=args.hw, height=args.hw)
+    invalid = jnp.zeros((n,), bool)
+
+    @jax.jit
+    def render_gt(q, t):
+        return jnp.clip(rasterize(
+            jnp.asarray(gt_xyz), jnp.asarray(gt_feats), invalid, q, t,
+            camera, rcfg).rgb, 0, 1)
+
+    records = []
+    for i, (T, K) in enumerate(cams):
+        q, t = se3_to_qt(jnp.asarray(T))
+        img = np.asarray(render_gt(q, t))
+        path = f"{args.out}/imgs/{i:03d}.png"
+        Image.fromarray((img * 255).astype(np.uint8)).save(path)
+        records.append({
+            "image_path": path,
+            "T_pointcloud_camera": T.tolist(),
+            "camera_intrinsics": K.tolist(),
+            "camera_height": args.hw, "camera_width": args.hw,
+            "camera_id": 0,
+        })
+    train = [r for i, r in enumerate(records) if i % 8 != 0]
+    val = [r for i, r in enumerate(records) if i % 8 == 0]
+    json.dump(train, open(f"{args.out}/train.json", "w"))
+    json.dump(val, open(f"{args.out}/val.json", "w"))
+
+    # noisy subsampled init (mimic COLMAP sparse points)
+    sel = rng.choice(n, n // 8, replace=False)
+    init_pts = gt_xyz[sel] + rng.normal(0, 0.05, (len(sel), 3))
+    rgb = np.clip(1 / (1 + np.exp(-gt_feats[sel, 8:9])) * 255, 0, 255)
+    pd.DataFrame({
+        "x": init_pts[:, 0], "y": init_pts[:, 1], "z": init_pts[:, 2],
+        "r": rgb[:, 0], "g": rgb[:, 0], "b": rgb[:, 0],
+    }).to_parquet(f"{args.out}/point_cloud.parquet")
+    print(f"dataset: {len(train)} train / {len(val)} val views, "
+          f"{len(sel)} init points", flush=True)
+
+    from taichi_3d_gaussian_splatting_tpu.training.config import from_dict
+    from taichi_3d_gaussian_splatting_tpu.training.trainer import (
+        GaussianPointCloudTrainer,
+    )
+
+    config = from_dict({
+        "train_dataset_json_path": f"{args.out}/train.json",
+        "val_dataset_json_path": f"{args.out}/val.json",
+        "pointcloud_parquet_path": f"{args.out}/point_cloud.parquet",
+        "summary_writer_log_dir": f"{args.out}/logs",
+        "num_iterations": args.iterations,
+        "val_interval": max(args.iterations // 4, 250),
+        "initial_downsample_factor": 2,
+        "half_downsample_factor_interval": 250,
+        "feature_learning_rate": 0.005,
+        "position_learning_rate": 0.00005,
+        "print_metrics_to_console": False,
+        "log_metrics_interval": 100,
+        "rasterisation_config": {
+            "tile_size": 32, "key_cap": 2**19,
+            "interpret": jax.devices()[0].platform == "cpu",
+        },
+        "adaptive_controller_config": {
+            "num_iterations_warm_up": 300,
+            "num_iterations_densify": 100,
+            "densification_view_space_position_gradients_threshold": 3e-6,
+            "under_reconstructed_num_pixels_threshold": 32,
+            "num_iterations_reset_alpha": 1500,
+            "reset_alpha_value": -1.9,
+            "transparent_alpha_threshold": -2.0,
+        },
+        "gaussian_point_cloud_scene_config": {
+            "max_num_points_ratio": 20.0,
+            "initial_alpha": 0.0,
+            "max_initial_covariance": 10.0,
+            "initial_covariance_ratio": 0.5,
+        },
+        "loss_function_config": {"enable_regularization": False},
+    })
+    trainer = GaussianPointCloudTrainer(config)
+    t0 = time.time()
+    state = trainer.train()
+    dt = time.time() - t0
+    print(f"trained {args.iterations} iters in {dt:.0f}s "
+          f"({args.iterations / dt:.1f} it/s)")
+    print(f"final num_valid_points: {int(state.scene.num_valid())}")
+    print(f"best val PSNR: {trainer.best_psnr_score:.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -141,6 +141,7 @@ def make_train_step(config: TrainConfig, height: int, width: int):
         metrics = {
             "loss": loss, "l1": l1, "ssim": ssim_v,
             "psnr": psnr_fn(pred, image_gt),
+            "num_keys": ctx.keys.total,
         }
         aux = {
             "pred": pred, "depth": out.depth, "count": out.count,
@@ -198,6 +199,21 @@ def make_eval_step(config: TrainConfig, height: int, width: int):
     return eval_step
 
 
+def fit_key_cap(total_keys: int, minimum: int = 2 ** 15,
+                headroom: float = 1.3) -> int:
+    """Smallest power-of-two key capacity holding total_keys * headroom.
+
+    Nearly every tiling/sort/gather stage scales with the STATIC key_cap,
+    not the actual key count, so the trainer re-buckets the capacity as the
+    scene grows/shrinks (one recompile per bucket change) instead of
+    running at a fixed worst-case cap."""
+    cap = minimum
+    need = int(total_keys * headroom) + 1
+    while cap < need:
+        cap *= 2
+    return cap
+
+
 class GaussianPointCloudTrainer:
     """Reference GaussianPointCloudTrainer (:65-98, :123-275)."""
 
@@ -224,23 +240,43 @@ class GaussianPointCloudTrainer:
             seed=config.seed,
         )
         self.best_psnr_score = 0.0
+        self._key_cap = config.rasterisation_config.key_cap
         self._step_cache = {}
         self._eval_cache = {}
         self.densify_find, self.densify_apply, self.alpha_reset = (
             make_densify_step(config))
         self.rng = jax.random.PRNGKey(config.seed)
 
-    # -- step-fn caches (one compile per resolution bucket) -----------------
+    # -- step-fn caches (one compile per resolution x key-cap bucket) --------
+
+    def _active_config(self) -> TrainConfig:
+        import dataclasses as _dc
+
+        rcfg = _dc.replace(self.config.rasterisation_config,
+                           key_cap=self._key_cap)
+        return _dc.replace(self.config, rasterisation_config=rcfg)
 
     def _get_step(self, h: int, w: int):
-        if (h, w) not in self._step_cache:
-            self._step_cache[(h, w)] = make_train_step(self.config, h, w)
-        return self._step_cache[(h, w)]
+        key = (h, w, self._key_cap)
+        if key not in self._step_cache:
+            self._step_cache[key] = make_train_step(self._active_config(), h, w)
+        return self._step_cache[key]
 
     def _get_eval(self, h: int, w: int):
-        if (h, w) not in self._eval_cache:
-            self._eval_cache[(h, w)] = make_eval_step(self.config, h, w)
-        return self._eval_cache[(h, w)]
+        key = (h, w, self._key_cap)
+        if key not in self._eval_cache:
+            self._eval_cache[key] = make_eval_step(self._active_config(), h, w)
+        return self._eval_cache[key]
+
+    def _maybe_rebucket_key_cap(self, num_keys: int) -> None:
+        """Grow/shrink the static key capacity to fit the live key count
+        (one recompile per bucket change; see fit_key_cap)."""
+        want = fit_key_cap(num_keys)
+        grow = want > self._key_cap
+        shrink = want * 4 <= self._key_cap  # hysteresis when shrinking
+        if grow or shrink:
+            self._key_cap = want if grow else self._key_cap // 2
+            print(f"key_cap -> {self._key_cap} (live keys {num_keys})")
 
     # -- logging -------------------------------------------------------------
 
@@ -333,6 +369,8 @@ class GaussianPointCloudTrainer:
 
             loss_val = float(metrics["loss"])
             recent_losses.append(loss_val)
+            if iteration % 20 == 0:
+                self._maybe_rebucket_key_cap(int(metrics["num_keys"]))
             if iteration % config.log_loss_interval == 0:
                 self._scalar("train/loss", loss_val, iteration)
                 self._scalar("train/l1 loss", float(metrics["l1"]), iteration)
