@@ -74,6 +74,8 @@ class TrainConfig:
     loss_function_config: LossConfig = field(default_factory=LossConfig)
     # --- TPU-specific ---
     seed: int = 0
+    resume_from: Optional[str] = None      # full-state checkpoint dir
+    save_full_checkpoint: bool = True      # write checkpoint_latest at vals
     num_data_threads: int = 4
     enable_jax_profiler: bool = False      # jax.profiler trace into log dir
     jax_profiler_start_iteration: int = 200

@@ -271,7 +271,10 @@ class GaussianPointCloudTrainer:
     def _maybe_rebucket_key_cap(self, num_keys: int) -> None:
         """Grow/shrink the static key capacity to fit the live key count
         (one recompile per bucket change; see fit_key_cap)."""
-        want = fit_key_cap(num_keys)
+        want = fit_key_cap(
+            num_keys,
+            minimum=min(2 ** 15, self.config.rasterisation_config.key_cap),
+        )
         grow = want > self._key_cap
         shrink = want * 4 <= self._key_cap  # hysteresis when shrinking
         if grow or shrink:
@@ -308,13 +311,31 @@ class GaussianPointCloudTrainer:
             ctrl=ctrl.init_state(self.scene.capacity),
         )
 
+        start_iteration = 0
+        if config.resume_from:
+            from taichi_3d_gaussian_splatting_tpu.training.checkpoint import (
+                load_checkpoint,
+            )
+
+            state, meta = load_checkpoint(config.resume_from, state)
+            start_iteration = int(meta["iteration"]) + 1
+            self.best_psnr_score = float(meta.get("best_psnr", 0.0))
+            self._key_cap = int(meta.get("key_cap", self._key_cap))
+            self.rng = jax.random.PRNGKey(int(meta.get("rng_seed",
+                                                       config.seed)))
+            print(f"resumed from {config.resume_from} at iteration "
+                  f"{start_iteration}")
+
         ccfg = config.adaptive_controller_config
         downsample_factor = config.initial_downsample_factor
+        for _ in range(start_iteration // config.half_downsample_factor_interval):
+            if downsample_factor > 1:
+                downsample_factor //= 2
         recent_losses = collections.deque(maxlen=100)
         densify_info = None
         t_start = time.time()
 
-        for iteration in range(config.num_iterations):
+        for iteration in range(start_iteration, config.num_iterations):
             if (iteration % config.half_downsample_factor_interval == 0
                     and iteration > 0 and downsample_factor > 1):
                 downsample_factor //= 2
@@ -446,6 +467,19 @@ class GaussianPointCloudTrainer:
         scene_path = os.path.join(self.output_model_dir,
                                   f"scene_{iteration}.parquet")
         scene_lib.to_parquet(state.scene, scene_path)
+        if config.save_full_checkpoint:
+            from taichi_3d_gaussian_splatting_tpu.training.checkpoint import (
+                save_checkpoint,
+            )
+
+            save_checkpoint(
+                os.path.join(self.output_model_dir, "checkpoint_latest"),
+                state,
+                {"iteration": iteration,
+                 "best_psnr": self.best_psnr_score,
+                 "key_cap": self._key_cap,
+                 "rng_seed": self.config.seed},
+            )
         if mean_psnr > self.best_psnr_score:
             self.best_psnr_score = mean_psnr
             scene_lib.to_parquet(
