@@ -118,7 +118,10 @@ class GaussianPointRenderer:
     def _frames_sharded(self, qs, ts):
         """Pose-sharded rendering over the device mesh (per-device vmap-free
         loop via shard_map; the scene is replicated, frames gathered)."""
-        from jax.experimental.shard_map import shard_map
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
         from jax.sharding import Mesh, PartitionSpec as P
 
         n = self.poses.shape[0]

@@ -26,7 +26,10 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import (
     Camera,
@@ -126,7 +129,9 @@ def make_dp_train_step(config: TrainConfig, height: int, width: int,
         )
         new_state = TrainState(scene=scene, feat_opt=feat_opt,
                                pos_opt=pos_opt, ctrl=ctrl_state)
-        metrics = {"loss": loss, "l1": l1, "ssim": ssim_v, "psnr": train_psnr}
+        metrics = {"loss": loss, "l1": l1, "ssim": ssim_v,
+                   "psnr": train_psnr,
+                   "num_keys": jax.lax.pmax(ctx.keys.total, "data")}
         # max-reduced per-point stats for the densify pass (union over cameras)
         frame_stats = {
             "in_camera": jax.lax.psum(vis, "data") > 0,
@@ -145,7 +150,7 @@ def make_dp_train_step(config: TrainConfig, height: int, width: int,
         per_device, mesh=mesh,
         in_specs=(replicated, batched, batched, batched, batched, replicated),
         out_specs=(replicated, replicated, replicated),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded_step, donate_argnums=(0,)), mesh
 

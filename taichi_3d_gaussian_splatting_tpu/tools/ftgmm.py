@@ -40,11 +40,25 @@ class SceneGMM(NamedTuple):
     log_weights: jnp.ndarray  # (N,) normalized
 
 
-def scene_to_gmm(scene: GaussianScene, min_scale: float = 1e-5) -> SceneGMM:
-    """Valid points -> mixture params (reference define_gmm :86-121)."""
+def scene_to_gmm(scene: GaussianScene, min_scale: float = 1e-5,
+                 max_components: int | None = 20000,
+                 seed: int = 0) -> SceneGMM:
+    """Valid points -> mixture params (reference define_gmm :86-121).
+
+    ``max_components`` caps the mixture size by uniform subsampling: the
+    log-prob evaluation materializes (grid_chunk, N, 3) intermediates, and
+    an unbounded N can exhaust HBM mid-training (the analysis is a
+    diagnostic — a subsample preserves the spectrum it inspects)."""
     valid = np.asarray(~scene.invalid)
-    xyz = jnp.asarray(np.asarray(scene.xyz)[valid])
-    feats = jnp.asarray(np.asarray(scene.features)[valid])
+    xyz_np = np.asarray(scene.xyz)[valid]
+    feats_np = np.asarray(scene.features)[valid]
+    if max_components is not None and xyz_np.shape[0] > max_components:
+        sel = np.random.default_rng(seed).choice(
+            xyz_np.shape[0], max_components, replace=False)
+        xyz_np = xyz_np[sel]
+        feats_np = feats_np[sel]
+    xyz = jnp.asarray(xyz_np)
+    feats = jnp.asarray(feats_np)
     q = feats[:, 0:4]
     q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
     rot = quaternion_to_rotation_matrix(q)

@@ -243,6 +243,13 @@ class GaussianPointCloudTrainer:
         self._key_cap = config.rasterisation_config.key_cap
         self._step_cache = {}
         self._eval_cache = {}
+        self.mesh = None
+        if config.data_parallel_devices > 1:
+            from taichi_3d_gaussian_splatting_tpu.parallel.data_parallel import (
+                make_mesh,
+            )
+
+            self.mesh = make_mesh(config.data_parallel_devices)
         self.densify_find, self.densify_apply, self.alpha_reset = (
             make_densify_step(config))
         self.rng = jax.random.PRNGKey(config.seed)
@@ -259,7 +266,16 @@ class GaussianPointCloudTrainer:
     def _get_step(self, h: int, w: int):
         key = (h, w, self._key_cap)
         if key not in self._step_cache:
-            self._step_cache[key] = make_train_step(self._active_config(), h, w)
+            if self.mesh is not None:
+                from taichi_3d_gaussian_splatting_tpu.parallel.data_parallel import (
+                    make_dp_train_step,
+                )
+
+                self._step_cache[key] = make_dp_train_step(
+                    self._active_config(), h, w, self.mesh)[0]
+            else:
+                self._step_cache[key] = make_train_step(
+                    self._active_config(), h, w)
         return self._step_cache[key]
 
     def _get_eval(self, h: int, w: int):
@@ -271,6 +287,8 @@ class GaussianPointCloudTrainer:
     def _maybe_rebucket_key_cap(self, num_keys: int) -> None:
         """Grow/shrink the static key capacity to fit the live key count
         (one recompile per bucket change; see fit_key_cap)."""
+        if num_keys <= 0:
+            return
         want = fit_key_cap(
             num_keys,
             minimum=min(2 ** 15, self.config.rasterisation_config.key_cap),
@@ -340,21 +358,69 @@ class GaussianPointCloudTrainer:
                     and iteration > 0 and downsample_factor > 1):
                 downsample_factor //= 2
 
-            item = next(data_iter)
-            if downsample_factor > 1:
-                item = downsample_item(item, downsample_factor, tile)
+            batch_size = (self.mesh.devices.size if self.mesh is not None
+                          else 1)
+            items = []
+            for _ in range(batch_size):
+                item = next(data_iter)
+                if downsample_factor > 1:
+                    item = downsample_item(item, downsample_factor, tile)
+                items.append(item)
+            item = items[0]
             h, w = item.camera_info.camera_height, item.camera_info.camera_width
             sh_band = iteration // config.increase_color_max_sh_band_interval
 
             step = self._get_step(h, w)
-            state, metrics, aux = step(
-                state,
-                jnp.asarray(item.image),
-                jnp.asarray(item.q_pointcloud_camera),
-                jnp.asarray(item.t_pointcloud_camera),
-                jnp.asarray(item.camera_info.camera_intrinsics),
-                jnp.asarray(sh_band, jnp.int32),
-            )
+            if self.mesh is None:
+                state, metrics, aux = step(
+                    state,
+                    jnp.asarray(item.image),
+                    jnp.asarray(item.q_pointcloud_camera),
+                    jnp.asarray(item.t_pointcloud_camera),
+                    jnp.asarray(item.camera_info.camera_intrinsics),
+                    jnp.asarray(sh_band, jnp.int32),
+                )
+            else:
+                from taichi_3d_gaussian_splatting_tpu.parallel.data_parallel import (
+                    shard_batch,
+                )
+
+                assert all(
+                    (it.camera_info.camera_height,
+                     it.camera_info.camera_width) == (h, w) for it in items
+                ), "data-parallel batches need uniform camera resolution"
+                imgs, qs, ts, Ks = shard_batch(
+                    self.mesh,
+                    np.stack([it.image for it in items]),
+                    np.stack([it.q_pointcloud_camera for it in items]),
+                    np.stack([it.t_pointcloud_camera for it in items]),
+                    np.stack([it.camera_info.camera_intrinsics
+                              for it in items]),
+                )
+                state, metrics, frame_stats = step(
+                    state, imgs, qs, ts, Ks, jnp.asarray(sh_band, jnp.int32))
+                from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import (
+                    GradStats,
+                )
+
+                zero_img = jnp.zeros((h, w, 2), jnp.float32)
+                aux = {
+                    "pred": jnp.zeros((h, w, 3), jnp.float32),
+                    "depth": jnp.zeros((h, w), jnp.float32),
+                    "count": jnp.zeros((h, w), jnp.float32),
+                    "point_depth": frame_stats["point_depth"],
+                    "stats": GradStats(
+                        grad_uv=jnp.zeros((state.scene.capacity, 2)),
+                        magnitude_grad_viewspace=frame_stats[
+                            "magnitude_grad_viewspace"],
+                        num_affected_pixels=frame_stats["num_affected_pixels"],
+                        num_overlap_tiles=jnp.zeros(
+                            (state.scene.capacity,), jnp.int32),
+                        in_camera=frame_stats["in_camera"],
+                        magnitude_grad_viewspace_on_image=zero_img,
+                    ),
+                }
+
 
             # densification cadence (reference update/refinement :130-168).
             # The selection runs on the post-optimizer-step scene (the
@@ -388,11 +454,14 @@ class GaussianPointCloudTrainer:
                 except Exception as e:  # analysis is diagnostic-only
                     print(f"ftgmm analysis failed at {iteration}: {e}")
 
-            loss_val = float(metrics["loss"])
-            recent_losses.append(loss_val)
-            if iteration % 20 == 0:
+            # keep the hot loop sync-free: metrics stay device-side and
+            # only materialize at log intervals (each float() costs a
+            # device round-trip, which dominates step time on remote TPU)
+            recent_losses.append(metrics["loss"])
+            if iteration % 100 == 0:
                 self._maybe_rebucket_key_cap(int(metrics["num_keys"]))
             if iteration % config.log_loss_interval == 0:
+                loss_val = float(metrics["loss"])
                 self._scalar("train/loss", loss_val, iteration)
                 self._scalar("train/l1 loss", float(metrics["l1"]), iteration)
                 self._scalar("train/ssim loss", 1.0 - float(metrics["ssim"]),
@@ -416,12 +485,38 @@ class GaussianPointCloudTrainer:
                               **{f"train_psnr_{iteration}": p,
                                  f"train_ssim_{iteration}": s})
 
+            if config.log_image_interval and \
+                    iteration % config.log_image_interval == 0 and \
+                    self.writer is not None:
+                self._log_images(item, metrics, aux, iteration)
+
             if (iteration % config.val_interval == 0 and iteration != 0) \
                     or iteration in (5000, 7000):
                 state = self._validate(state, iteration)
 
         self.scene = state.scene
         return state
+
+    def _log_images(self, item, metrics, aux, iteration: int) -> None:
+        """pred | gt | depth-cmap | point-count grid (reference :248-264)."""
+        pred = np.asarray(aux["pred"])
+        gt = item.image
+        depth = np.asarray(aux["depth"])
+        count = np.asarray(aux["count"]).astype(np.float32)
+        # reference _easy_cmap (:283-289): near/mid/far bands, inverted
+        d_rgb = 1.0 - np.stack([
+            np.clip(depth, 0, 10) / 10.0,
+            np.clip(depth - 10, 0, 50) / 50.0,
+            np.clip(depth - 60, 0, 200) / 200.0,
+        ], axis=-1)
+        c_rgb = np.repeat(
+            (count / max(count.max(), 1.0))[..., None], 3, axis=-1)
+        top = np.concatenate([pred, gt], axis=1)
+        bottom = np.concatenate([d_rgb, c_rgb], axis=1)
+        grid = np.concatenate([top, bottom], axis=0)
+        self.writer.add_image(
+            "train/image", (grid.transpose(2, 0, 1) * 255).astype(np.uint8),
+            iteration)
 
     # -- validation ------------------------------------------------------------
 
