@@ -485,6 +485,18 @@ class GaussianPointCloudTrainer:
                               **{f"train_psnr_{iteration}": p,
                                  f"train_ssim_{iteration}": s})
 
+            # jax.profiler trace window (the reference's Taichi kernel
+            # profiler analogue, SURVEY.md §5)
+            if config.enable_jax_profiler:
+                if iteration == config.jax_profiler_start_iteration:
+                    jax.profiler.start_trace(
+                        os.path.join(config.summary_writer_log_dir,
+                                     "jax_trace"))
+                if iteration == (config.jax_profiler_start_iteration
+                                 + config.jax_profiler_num_iterations):
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
+
             if config.log_image_interval and \
                     iteration % config.log_image_interval == 0 and \
                     self.writer is not None:
