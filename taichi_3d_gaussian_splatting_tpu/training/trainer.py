@@ -350,6 +350,7 @@ class GaussianPointCloudTrainer:
             if downsample_factor > 1:
                 downsample_factor //= 2
         recent_losses = collections.deque(maxlen=100)
+        self._last_problematic = -1000
         densify_info = None
         t_start = time.time()
 
@@ -497,10 +498,24 @@ class GaussianPointCloudTrainer:
                     jax.block_until_ready(metrics["loss"])
                     jax.profiler.stop_trace()
 
-            if config.log_image_interval and \
-                    iteration % config.log_image_interval == 0 and \
-                    self.writer is not None:
-                self._log_images(item, metrics, aux, iteration)
+            log_images_now = (
+                config.log_image_interval
+                and iteration % config.log_image_interval == 0
+            )
+            # "problematic" frame capture: loss > 1.5x the rolling average
+            # (reference :140-142, :241-246), checked at loss-log cadence to
+            # keep the hot loop sync-free
+            problematic = False
+            if (iteration % config.log_loss_interval == 0
+                    and len(recent_losses) == recent_losses.maxlen
+                    and iteration - self._last_problematic > 100):
+                avg = float(jnp.mean(jnp.stack(list(recent_losses))))
+                if float(metrics["loss"]) > 1.5 * avg:
+                    problematic = True
+                    self._last_problematic = iteration
+            if (log_images_now or problematic) and self.writer is not None:
+                self._log_images(item, metrics, aux, iteration,
+                                 problematic=problematic)
 
             if (iteration % config.val_interval == 0 and iteration != 0) \
                     or iteration in (5000, 7000):
@@ -509,7 +524,8 @@ class GaussianPointCloudTrainer:
         self.scene = state.scene
         return state
 
-    def _log_images(self, item, metrics, aux, iteration: int) -> None:
+    def _log_images(self, item, metrics, aux, iteration: int,
+                    problematic: bool = False) -> None:
         """pred | gt | depth-cmap | point-count grid (reference :248-264)."""
         pred = np.asarray(aux["pred"])
         gt = item.image
@@ -526,9 +542,9 @@ class GaussianPointCloudTrainer:
         top = np.concatenate([pred, gt], axis=1)
         bottom = np.concatenate([d_rgb, c_rgb], axis=1)
         grid = np.concatenate([top, bottom], axis=0)
+        tag = "train/image_problematic" if problematic else "train/image"
         self.writer.add_image(
-            "train/image", (grid.transpose(2, 0, 1) * 255).astype(np.uint8),
-            iteration)
+            tag, (grid.transpose(2, 0, 1) * 255).astype(np.uint8), iteration)
 
     # -- validation ------------------------------------------------------------
 
