@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from taichi_3d_gaussian_splatting_tpu.ops import projection as proj
@@ -82,7 +83,8 @@ def compute_point_attributes(
     direction = xyz - camera_center
     basis = sh_basis(direction)  # (N, 16)
     band_mask = _sh_band_mask(sh_max_band, basis.dtype)
-    raw = jnp.einsum("nck,nk->nc", sh, (basis * band_mask))
+    raw = jnp.einsum("nck,nk->nc", sh, (basis * band_mask),
+                 precision=jax.lax.Precision.HIGHEST)
     color = 1.0 / (1.0 + jnp.exp(-raw))
 
     return PointAttributes(

@@ -12,7 +12,10 @@ closed-form forward functions, which computes the identical chain rule.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+HIGHEST = jax.lax.Precision.HIGHEST
 
 from taichi_3d_gaussian_splatting_tpu.ops.transforms import (
     quaternion_to_rotation_matrix,
@@ -32,8 +35,10 @@ def project_point(
     xyz (..., 3); R_cw/t_cw: world->camera rotation (3,3) and translation (3,);
     K: (3, 3) intrinsics. Reference: GaussianPoint3D.py:14-27.
     """
-    xyz_cam = jnp.einsum("ij,...j->...i", R_cw, xyz) + t_cw
-    uv1 = jnp.einsum("ij,...j->...i", K, xyz_cam) / xyz_cam[..., 2:3]
+    xyz_cam = jnp.einsum("ij,...j->...i", R_cw, xyz,
+                     precision=HIGHEST) + t_cw
+    uv1 = jnp.einsum("ij,...j->...i", K, xyz_cam,
+                 precision=HIGHEST) / xyz_cam[..., 2:3]
     return uv1[..., :2], xyz_cam
 
 
@@ -45,7 +50,7 @@ def covariance_3d(q: jnp.ndarray, log_scale: jnp.ndarray) -> jnp.ndarray:
     R = quaternion_to_rotation_matrix(q)
     S = jnp.exp(log_scale)
     M = R * S[..., None, :]  # R @ diag(S)
-    return M @ jnp.swapaxes(M, -1, -2)
+    return jnp.matmul(M, jnp.swapaxes(M, -1, -2), precision=HIGHEST)
 
 
 def projective_jacobian(K: jnp.ndarray, xyz_cam: jnp.ndarray) -> jnp.ndarray:
@@ -76,8 +81,9 @@ def project_covariance(
     """
     Sigma = covariance_3d(q, log_scale)
     J = projective_jacobian(K, xyz_cam)
-    JW = jnp.einsum("...ij,jk->...ik", J, R_cw)
-    return jnp.einsum("...ij,...jk,...lk->...il", JW, Sigma, JW)
+    JW = jnp.einsum("...ij,jk->...ik", J, R_cw, precision=HIGHEST)
+    return jnp.einsum("...ij,...jk,...lk->...il", JW, Sigma, JW,
+                  precision=HIGHEST)
 
 
 def conic_and_rescale(cov2d: jnp.ndarray):

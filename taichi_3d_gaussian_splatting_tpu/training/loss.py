@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -51,8 +52,13 @@ def _blur(img: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
 
     bh = band(h)  # (h-k+1, h)
     bw = band(w)  # (w-k+1, w)
-    out = jnp.einsum("ph,hwc->pwc", bh, img)
-    out = jnp.einsum("qw,pwc->pqc", bw, out)
+    # HIGHEST: the variance estimate blur(x^2) - mu^2 cancels almost
+    # completely in flat regions; the MXU's default bf16 input rounding
+    # turns it negative at ~4e-3 — larger than the SSIM c2 stabilizer —
+    # and sends the structure term far outside [-1, 1] (observed on TPU).
+    hp = jax.lax.Precision.HIGHEST
+    out = jnp.einsum("ph,hwc->pwc", bh, img, precision=hp)
+    out = jnp.einsum("qw,pwc->pqc", bw, out, precision=hp)
     return out
 
 

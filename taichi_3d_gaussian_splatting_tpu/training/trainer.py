@@ -554,7 +554,7 @@ class GaussianPointCloudTrainer:
         sh_band = min(iteration // config.increase_color_max_sh_band_interval, 3)
         totals = collections.defaultdict(float)
         n = 0
-        total_time = 0.0
+        frame_times = []
         for item in PrefetchLoader(self.val_dataset, shuffle=False,
                                    loop=False,
                                    num_threads=config.num_data_threads):
@@ -570,7 +570,7 @@ class GaussianPointCloudTrainer:
                 jnp.asarray(sh_band, jnp.int32),
             )
             jax.block_until_ready(metrics["loss"])
-            total_time += time.time() - t0
+            frame_times.append(time.time() - t0)
             for k in ("loss", "l1", "psnr", "ssim_score"):
                 totals[k] += float(metrics[k])
             n += 1
@@ -581,7 +581,10 @@ class GaussianPointCloudTrainer:
         self._scalar("val/loss", totals["loss"] / n, iteration)
         self._scalar("val/psnr", mean_psnr, iteration)
         self._scalar("val/ssim", mean_ssim, iteration)
-        self._scalar("val/inference_time", total_time / n, iteration)
+        # median excludes compile time of the first frame per bucket
+        # (reference warms up before its CUDA-event timing)
+        self._scalar("val/inference_time",
+                     float(np.median(frame_times)), iteration)
         self._console(val_loss=totals["loss"] / n, val_psnr=mean_psnr,
                       val_ssim=mean_ssim,
                       **{f"val_psnr_{iteration}": mean_psnr,
