@@ -77,6 +77,7 @@ class TrainConfig:
     resume_from: Optional[str] = None      # full-state checkpoint dir
     save_full_checkpoint: bool = True      # write checkpoint_latest at vals
     num_data_threads: int = 4
+    steps_per_dispatch: int = 1            # >1: lax.scan windows of steps
     enable_jax_profiler: bool = False      # jax.profiler trace into log dir
     jax_profiler_start_iteration: int = 200
     jax_profiler_num_iterations: int = 20

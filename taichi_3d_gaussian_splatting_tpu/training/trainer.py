@@ -84,8 +84,16 @@ def make_optimizers(config: TrainConfig):
     return feature_tx, position_tx
 
 
-def make_train_step(config: TrainConfig, height: int, width: int):
-    """Build the jitted step for one (height, width) bucket."""
+def make_train_step(config: TrainConfig, height: int, width: int,
+                    scan_steps: int = 0):
+    """Build the jitted step for one (height, width) bucket.
+
+    With scan_steps > 0 the returned function runs that many optimizer
+    steps in ONE device dispatch via lax.scan over stacked camera batches
+    (image (S, H, W, 3), q (S, 4), t (S, 3), K (S, 3, 3)) — host round
+    trips per step dominate wall time through remote-TPU tunnels, and a
+    device-resident loop amortizes them. Metrics come back stacked per
+    step; aux reflects the LAST step (what the densifier consumes)."""
     rcfg = config.rasterisation_config
     lcfg = config.loss_function_config
     feature_tx, position_tx = make_optimizers(config)
@@ -149,7 +157,26 @@ def make_train_step(config: TrainConfig, height: int, width: int):
         }
         return new_state, metrics, aux
 
-    return jax.jit(step, donate_argnums=(0,))
+    if scan_steps <= 0:
+        return jax.jit(step, donate_argnums=(0,))
+
+    def scanned(state: TrainState, images, qs, ts, Ks, sh_band):
+        def body(carry, xs):
+            img, q, t, K = xs
+            new_state, metrics, aux = step(carry[0], img, q, t, K, sh_band)
+            return (new_state, aux), metrics
+
+        aux0 = jax.eval_shape(
+            lambda st: step(st, images[0], qs[0], ts[0], Ks[0], sh_band)[2],
+            state,
+        )
+        aux0 = jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), aux0)
+        (new_state, aux), metrics = jax.lax.scan(
+            body, (state, aux0), (images, qs, ts, Ks), length=scan_steps
+        )
+        return new_state, metrics, aux
+
+    return jax.jit(scanned, donate_argnums=(0,))
 
 
 def make_densify_step(config: TrainConfig):
@@ -263,8 +290,8 @@ class GaussianPointCloudTrainer:
                            key_cap=self._key_cap)
         return _dc.replace(self.config, rasterisation_config=rcfg)
 
-    def _get_step(self, h: int, w: int):
-        key = (h, w, self._key_cap)
+    def _get_step(self, h: int, w: int, scan_steps: int = 0):
+        key = (h, w, self._key_cap, scan_steps)
         if key not in self._step_cache:
             if self.mesh is not None:
                 from taichi_3d_gaussian_splatting_tpu.parallel.data_parallel import (
@@ -275,8 +302,49 @@ class GaussianPointCloudTrainer:
                     self._active_config(), h, w, self.mesh)[0]
             else:
                 self._step_cache[key] = make_train_step(
-                    self._active_config(), h, w)
+                    self._active_config(), h, w, scan_steps=scan_steps)
         return self._step_cache[key]
+
+    # -- scan-window scheduling ----------------------------------------------
+
+    def _boundary_after(self, k: int) -> bool:
+        """True if a host-side handler must run right after iteration k
+        (densify/alpha-reset/ftgmm/image-log/validation) — k may then only
+        be the LAST index of a dispatch window."""
+        config = self.config
+        ccfg = config.adaptive_controller_config
+        warm = k >= ccfg.num_iterations_warm_up
+        if warm and k % ccfg.num_iterations_densify == 0:
+            return True
+        if warm and k % ccfg.num_iterations_reset_alpha == 0:
+            return True
+        if k and k % 1234 == 0:  # ftgmm analysis
+            return True
+        if config.log_image_interval and \
+                k % config.log_image_interval == 0:
+            return True
+        if (k % config.val_interval == 0 and k != 0) or k in (5000, 7000):
+            return True
+        return False
+
+    def _boundary_before(self, k: int) -> bool:
+        """True if host-side work precedes iteration k (progressive
+        downsample change) — k may then only START a window."""
+        return (k % self.config.half_downsample_factor_interval == 0
+                and k > 0)
+
+    def _window_size(self, iteration: int) -> int:
+        spd = max(self.config.steps_per_dispatch, 1)
+        if spd == 1 or self.mesh is not None:
+            return 1
+        if iteration + spd > self.config.num_iterations:
+            return 1
+        for d in range(spd - 1):
+            if self._boundary_after(iteration + d):
+                return 1
+            if self._boundary_before(iteration + d + 1):
+                return 1
+        return spd
 
     def _get_eval(self, h: int, w: int):
         key = (h, w, self._key_cap)
@@ -354,25 +422,60 @@ class GaussianPointCloudTrainer:
         densify_info = None
         t_start = time.time()
 
-        for iteration in range(start_iteration, config.num_iterations):
+        iteration = start_iteration - 1
+        while iteration + 1 < config.num_iterations:
+            iteration += 1
             if (iteration % config.half_downsample_factor_interval == 0
                     and iteration > 0 and downsample_factor > 1):
                 downsample_factor //= 2
 
+            window = self._window_size(iteration)
             batch_size = (self.mesh.devices.size if self.mesh is not None
-                          else 1)
+                          else window)
             items = []
             for _ in range(batch_size):
                 item = next(data_iter)
                 if downsample_factor > 1:
                     item = downsample_item(item, downsample_factor, tile)
                 items.append(item)
-            item = items[0]
+            item = items[-1]
             h, w = item.camera_info.camera_height, item.camera_info.camera_width
+            if any((it.camera_info.camera_height,
+                    it.camera_info.camera_width) != (h, w) for it in items):
+                items = items[-1:]
+                window = 1
             sh_band = iteration // config.increase_color_max_sh_band_interval
 
-            step = self._get_step(h, w)
-            if self.mesh is None:
+            if self.mesh is None and window > 1:
+                step = self._get_step(h, w, scan_steps=window)
+                state, metrics_stacked, aux = step(
+                    state,
+                    jnp.asarray(np.stack([it.image for it in items])),
+                    jnp.asarray(np.stack(
+                        [it.q_pointcloud_camera for it in items])),
+                    jnp.asarray(np.stack(
+                        [it.t_pointcloud_camera for it in items])),
+                    jnp.asarray(np.stack(
+                        [it.camera_info.camera_intrinsics for it in items])),
+                    jnp.asarray(sh_band, jnp.int32),
+                )
+                # emit interior log points from the stacked metrics
+                for d in range(window - 1):
+                    k = iteration + d
+                    row = {key: v[d] for key, v in metrics_stacked.items()}
+                    recent_losses.append(row["loss"])
+                    if k % config.log_loss_interval == 0:
+                        self._scalar("train/loss", float(row["loss"]), k)
+                        self._scalar("train/l1 loss", float(row["l1"]), k)
+                        self._scalar("train/ssim loss",
+                                     1.0 - float(row["ssim"]), k)
+                    if k % config.log_metrics_interval == 0:
+                        self._scalar("train/psnr", float(row["psnr"]), k)
+                        self._scalar("train/ssim", float(row["ssim"]), k)
+                metrics = {key: v[-1] for key, v in metrics_stacked.items()}
+                iteration += window - 1
+            elif self.mesh is None:
+                step = self._get_step(h, w)
                 state, metrics, aux = step(
                     state,
                     jnp.asarray(item.image),
@@ -382,6 +485,7 @@ class GaussianPointCloudTrainer:
                     jnp.asarray(sh_band, jnp.int32),
                 )
             else:
+                step = self._get_step(h, w)
                 from taichi_3d_gaussian_splatting_tpu.parallel.data_parallel import (
                     shard_batch,
                 )

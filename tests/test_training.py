@@ -201,3 +201,44 @@ class TestTrainerWiring:
         # validation checkpoint written
         assert os.path.exists(tmp_path / "logs" / "scene_3.parquet")
         assert os.path.exists(tmp_path / "logs" / "best_scene.parquet")
+
+
+class TestScanWindow:
+    def test_windowed_matches_single_step(self):
+        """steps_per_dispatch windows replay the same per-step math."""
+        config = make_config()
+        scene = make_scene(n=64, seed=11)
+        ftx, ptx = make_optimizers(config)
+
+        def fresh_state():
+            sc = make_scene(n=64, seed=11)
+            return TrainState(
+                scene=sc, feat_opt=ftx.init(sc.features),
+                pos_opt=ptx.init(sc.xyz), ctrl=ctrl.init_state(sc.capacity),
+            )
+
+        target = jnp.asarray(synthetic_target())
+        rng = np.random.default_rng(0)
+        ts = rng.normal(0, 0.02, (3, 3)).astype(np.float32)
+        qs = np.tile(np.asarray(Q_ID, np.float32), (3, 1))
+        Ks = np.tile(np.asarray(K32, np.float32), (3, 1, 1))
+        imgs = np.stack([np.asarray(target)] * 3)
+
+        single = make_train_step(config, 32, 32)
+        st = fresh_state()
+        for i in range(3):
+            st, m1, _ = single(
+                st, jnp.asarray(imgs[i]), jnp.asarray(qs[i]),
+                jnp.asarray(ts[i]), jnp.asarray(Ks[i]),
+                jnp.asarray(0, jnp.int32))
+
+        scanned = make_train_step(config, 32, 32, scan_steps=3)
+        st2, m_stack, aux = scanned(
+            fresh_state(), jnp.asarray(imgs), jnp.asarray(qs),
+            jnp.asarray(ts), jnp.asarray(Ks), jnp.asarray(0, jnp.int32))
+        assert m_stack["loss"].shape == (3,)
+        np.testing.assert_allclose(
+            float(m_stack["loss"][-1]), float(m1["loss"]), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(st.scene.features), np.asarray(st2.scene.features),
+            atol=1e-5)
