@@ -84,6 +84,8 @@ def main():
     )
     from taichi_3d_gaussian_splatting_tpu.ops.transforms import se3_to_qt
 
+    resume_ck = f"{args.out}/logs/checkpoint_latest"
+    have_dataset = os.path.exists(f"{args.out}/train.json")
     rng = np.random.default_rng(0)
     os.makedirs(f"{args.out}/imgs", exist_ok=True)
     gt_xyz, gt_feats = make_gt_scene(rng)
@@ -105,6 +107,9 @@ def main():
             camera, rcfg).rgb, 0, 1)
 
     records = []
+    if have_dataset:
+        print("dataset exists, skipping GT render", flush=True)
+        cams = []
     for i, (T, K) in enumerate(cams):
         q, t = se3_to_qt(jnp.asarray(T))
         img = np.asarray(render_gt(q, t))
@@ -117,21 +122,25 @@ def main():
             "camera_height": args.hw, "camera_width": args.hw,
             "camera_id": 0,
         })
-    train = [r for i, r in enumerate(records) if i % 8 != 0]
-    val = [r for i, r in enumerate(records) if i % 8 == 0]
-    json.dump(train, open(f"{args.out}/train.json", "w"))
-    json.dump(val, open(f"{args.out}/val.json", "w"))
+    if not have_dataset:
+        train = [r for i, r in enumerate(records) if i % 8 != 0]
+        val = [r for i, r in enumerate(records) if i % 8 == 0]
+        json.dump(train, open(f"{args.out}/train.json", "w"))
+        json.dump(val, open(f"{args.out}/val.json", "w"))
 
     # noisy subsampled init (mimic COLMAP sparse points)
     sel = rng.choice(n, n // 8, replace=False)
+    if have_dataset:
+        sel = sel[:0]  # keep existing parquet
     init_pts = gt_xyz[sel] + rng.normal(0, 0.05, (len(sel), 3))
-    rgb = np.clip(1 / (1 + np.exp(-gt_feats[sel, 8:9])) * 255, 0, 255)
-    pd.DataFrame({
-        "x": init_pts[:, 0], "y": init_pts[:, 1], "z": init_pts[:, 2],
-        "r": rgb[:, 0], "g": rgb[:, 0], "b": rgb[:, 0],
-    }).to_parquet(f"{args.out}/point_cloud.parquet")
-    print(f"dataset: {len(train)} train / {len(val)} val views, "
-          f"{len(sel)} init points", flush=True)
+    if not have_dataset:
+        rgb = np.clip(1 / (1 + np.exp(-gt_feats[sel, 8:9])) * 255, 0, 255)
+        pd.DataFrame({
+            "x": init_pts[:, 0], "y": init_pts[:, 1], "z": init_pts[:, 2],
+            "r": rgb[:, 0], "g": rgb[:, 0], "b": rgb[:, 0],
+        }).to_parquet(f"{args.out}/point_cloud.parquet")
+        print(f"dataset: {len(train)} train / {len(val)} val views, "
+              f"{len(sel)} init points", flush=True)
 
     from taichi_3d_gaussian_splatting_tpu.training.config import from_dict
     from taichi_3d_gaussian_splatting_tpu.training.trainer import (
@@ -171,6 +180,8 @@ def main():
             "initial_covariance_ratio": 0.5,
         },
         "loss_function_config": {"enable_regularization": False},
+        "resume_from": resume_ck if os.path.exists(resume_ck) else None,
+        "steps_per_dispatch": 10,
     })
     trainer = GaussianPointCloudTrainer(config)
     t0 = time.time()

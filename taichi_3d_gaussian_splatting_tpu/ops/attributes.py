@@ -70,12 +70,13 @@ def compute_point_attributes(
     sh = features[:, 8:56].reshape(-1, 3, 16)
 
     uv, xyz_cam = proj.project_point(xyz, R_cw, t_cam, K)
-    cov2d_mat = proj.project_covariance(quat, log_scale, R_cw, K, xyz_cam)
-    conic = proj.conic_and_rescale(cov2d_mat)
-    radius = proj.splat_radius(cov2d_mat)
-    cov2d = jnp.stack(
-        [cov2d_mat[..., 0, 0], cov2d_mat[..., 0, 1], cov2d_mat[..., 1, 1]], axis=-1
-    )
+    # component form: identical math to project_covariance +
+    # conic_and_rescale + splat_radius, ~15x faster on TPU (no batched
+    # small-matrix fusions; see projection.project_cov2d_components)
+    a, b, c = proj.project_cov2d_components(quat, log_scale, R_cw, K, xyz_cam)
+    ca, cb, cc, rescale, radius = proj.conic_rescale_radius_components(a, b, c)
+    conic = jnp.stack([ca, cb, cc, rescale], axis=-1)
+    cov2d = jnp.stack([a, b, c], axis=-1)
 
     opacity = 1.0 / (1.0 + jnp.exp(-alpha_logit))
 

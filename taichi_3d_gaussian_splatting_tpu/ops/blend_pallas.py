@@ -136,12 +136,14 @@ def _lane_scan(x, op_mul: bool):
     return x
 
 
-def _chunk_state(tab, xy, n_valid, t_run):
+def _chunk_state(tab, xy, lane_lo, lane_hi, t_run):
     """Shared fwd/bwd per-chunk recompute: alphas, masks, transmittances.
 
     tab: (16, CHUNK) SoA chunk; xy: ((PX, 1), (PX, 1)) tile-local pixel
-    centers; n_valid: lanes < this are real keys of the current tile;
-    t_run: (PX, 1) carried transmittance. All math on the VPU, exact f32.
+    centers; lanes in [lane_lo, lane_hi) are real keys of the current tile
+    (ranges are NOT chunk-aligned — the window may straddle neighboring
+    tiles' keys); t_run: (PX, 1) carried transmittance. All math on the
+    VPU, exact f32.
     """
     x, y = xy
     px_count = x.shape[0]
@@ -152,7 +154,7 @@ def _chunk_state(tab, xy, n_valid, t_run):
              + tab[5:6, :])
     alpha_u = jnp.exp(power)
     lane = jax.lax.broadcasted_iota(jnp.int32, (px_count, CHUNK), 1)
-    in_range = lane < n_valid
+    in_range = jnp.logical_and(lane >= lane_lo, lane < lane_hi)
     skip = jnp.logical_or(
         jnp.logical_not(alpha_u >= ALPHA_SKIP_EPS),  # catches NaN too
         jnp.logical_not(in_range),
@@ -184,13 +186,14 @@ def _forward_kernel(
 ):
     px_count = tile * tile
     t = pl.program_id(0)
-    # tile_start is CHUNK-aligned by construction (tiling.py pads every
-    # tile's range); the hint lets Mosaic prove the HBM DMA slices are
-    # lane-aligned (it rejects the slice otherwise).
-    start = pl.multiple_of(start_ref[t], CHUNK)
+    # ranges are unaligned; DMA windows start at the enclosing CHUNK
+    # boundary (the hint lets Mosaic prove lane alignment) and lane masks
+    # cut out the tile's actual [start, end) span
+    start = start_ref[t]
     end = end_ref[t]
+    base = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
     n = end - start
-    nch = pl.cdiv(n, CHUNK)
+    nch = jnp.where(n > 0, pl.cdiv(end - base, CHUNK), 0)
 
     xy = _pixel_coords(tile)
 
@@ -201,7 +204,7 @@ def _forward_kernel(
 
     def get_dma(slot, c):
         return pltpu.make_async_copy(
-            table_hbm.at[:, pl.ds(start + c * CHUNK, CHUNK)],
+            table_hbm.at[:, pl.ds(base + c * CHUNK, CHUNK)],
             tab_ref.at[slot], sem.at[slot],
         )
 
@@ -228,7 +231,8 @@ def _forward_kernel(
             tab = tab_ref[c % 2]
             t_run = t_ref[:, 0:1]
             alpha_u, a, om, p_incl, t_excl, include, w, _, _ = _chunk_state(
-                tab, xy, n - c * CHUNK, t_run
+                tab, xy, start - base - c * CHUNK, end - base - c * CHUNK,
+                t_run
             )
             acc = jax.lax.dot_general(
                 w, tab[6:10, :], (((1,), (1,)), ((), ())),
@@ -311,16 +315,22 @@ def _backward_kernel(
     # outputs
     dtab_hbm, imggrad_ref,
     # scratch
-    tab_ref, drow_ref, carry_ref, in_sem, out_sem,
+    tab_ref, drow_ref, carry_ref, rmw_ref, in_sem, out_sem, rmw_sem,
     *, tile: int, extra_info: bool,
 ):
     px_count = tile * tile
     t = pl.program_id(0)
-    # CHUNK-aligned by construction; see _forward_kernel
-    start = pl.multiple_of(start_ref[t], CHUNK)
+    # unaligned ranges; see _forward_kernel. The FIRST window may be shared
+    # with the previous tile's tail (windows are CHUNK-aligned, tiles are
+    # contiguous in key space), so chunk 0 of a misaligned tile
+    # READ-MODIFY-WRITES the existing output window — the grid is
+    # sequential, making this race-free.
+    start = start_ref[t]
     end = end_ref[t]
+    base = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
     n = end - start
-    nch = pl.cdiv(n, CHUNK)
+    nch = jnp.where(n > 0, pl.cdiv(end - base, CHUNK), 0)
+    shared_head = start > base
 
     xy = _pixel_coords(tile)
     mono = _pixel_monomials(tile)
@@ -337,20 +347,27 @@ def _backward_kernel(
 
     def get_in_dma(slot, c):
         return pltpu.make_async_copy(
-            table_hbm.at[:, pl.ds(start + c * CHUNK, CHUNK)],
+            table_hbm.at[:, pl.ds(base + c * CHUNK, CHUNK)],
             tab_ref.at[slot], in_sem.at[slot],
         )
 
     def get_out_dma(slot, c):
         return pltpu.make_async_copy(
             drow_ref.at[slot],
-            dtab_hbm.at[:, pl.ds(start + c * CHUNK, CHUNK)],
+            dtab_hbm.at[:, pl.ds(base + c * CHUNK, CHUNK)],
             out_sem.at[slot],
         )
 
     @pl.when(nch > 0)
     def _():
         get_in_dma(0, 0).start()
+
+    # fetch the previous tile's tail of the shared window before chunk 0
+    @pl.when(jnp.logical_and(nch > 0, shared_head))
+    def _():
+        pltpu.make_async_copy(
+            dtab_hbm.at[:, pl.ds(base, CHUNK)], rmw_ref, rmw_sem
+        ).start()
 
     def body(c, state):
         # double-buffered in/out: inflight = in-DMA(c) started; active =
@@ -370,9 +387,19 @@ def _backward_kernel(
         def _():
             get_out_dma(c % 2, c - 2).wait()
 
+        # chunk 0 of a misaligned tile merges onto the previous tile's tail
+        @pl.when(jnp.logical_and(c == 0, shared_head))
+        def _():
+            pltpu.make_async_copy(
+                dtab_hbm.at[:, pl.ds(base, CHUNK)], rmw_ref, rmw_sem
+            ).wait()
+
         @pl.when(jnp.logical_not(active))
         def _():
-            drow_ref[c % 2] = jnp.zeros((16, CHUNK), jnp.float32)
+            drow_ref[c % 2] = jnp.where(
+                jnp.logical_and(c == 0, shared_head), rmw_ref[:],
+                jnp.zeros((16, CHUNK), jnp.float32),
+            )
 
         @pl.when(active)
         def _():
@@ -380,7 +407,8 @@ def _backward_kernel(
             t_run = carry_ref[:, 0:1]
             ga_prev = carry_ref[:, 1:2]
             alpha_u, a, om, p_incl, t_excl, include, w, dx, dy = _chunk_state(
-                tab, xy, n - c * CHUNK, t_run
+                tab, xy, start - base - c * CHUNK, end - base - c * CHUNK,
+                t_run
             )
             # g.c per (pixel, key): 4 broadcast FMAs on the VPU (K=4 is a
             # degenerate MXU contraction)
@@ -448,7 +476,15 @@ def _backward_kernel(
                 axis=0,
             )  # (16, CHUNK)
             lane16 = jax.lax.broadcasted_iota(jnp.int32, (16, CHUNK), 1)
-            drow_ref[c % 2] = jnp.where(lane16 < n - c * CHUNK, drows, 0.0)
+            mask16 = jnp.logical_and(
+                lane16 >= start - base - c * CHUNK,
+                lane16 < end - base - c * CHUNK,
+            )
+            ours = jnp.where(mask16, drows, 0.0)
+            prev = jnp.where(
+                jnp.logical_and(c == 0, shared_head), rmw_ref[:], 0.0
+            )
+            drow_ref[c % 2] = ours + prev
 
             carry_ref[:, 0:1] = p_incl[:, CHUNK - 1 : CHUNK]
             carry_ref[:, 1:2] = ga[:, CHUNK - 1 : CHUNK]
@@ -506,8 +542,10 @@ def blend_backward(
             pltpu.VMEM((2, 16, CHUNK), jnp.float32),  # in double buffer
             pltpu.VMEM((2, 16, CHUNK), jnp.float32),  # out double buffer
             pltpu.VMEM((px_count, 8), jnp.float32),
+            pltpu.VMEM((16, CHUNK), jnp.float32),     # shared-window RMW
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
     return pl.pallas_call(

@@ -35,11 +35,17 @@ def project_point(
     xyz (..., 3); R_cw/t_cw: world->camera rotation (3,3) and translation (3,);
     K: (3, 3) intrinsics. Reference: GaussianPoint3D.py:14-27.
     """
-    xyz_cam = jnp.einsum("ij,...j->...i", R_cw, xyz,
-                     precision=HIGHEST) + t_cw
-    uv1 = jnp.einsum("ij,...j->...i", K, xyz_cam,
-                 precision=HIGHEST) / xyz_cam[..., 2:3]
-    return uv1[..., :2], xyz_cam
+    # expanded scalar broadcasts (batched (N, 3) x const (3, 3) einsums
+    # lower to slow small-matrix fusions on TPU)
+    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    cx = R_cw[0, 0] * x + R_cw[0, 1] * y + R_cw[0, 2] * z + t_cw[0]
+    cy = R_cw[1, 0] * x + R_cw[1, 1] * y + R_cw[1, 2] * z + t_cw[1]
+    cz = R_cw[2, 0] * x + R_cw[2, 1] * y + R_cw[2, 2] * z + t_cw[2]
+    inv = 1.0 / cz
+    u = (K[0, 0] * cx + K[0, 1] * cy + K[0, 2] * cz) * inv
+    v = (K[1, 0] * cx + K[1, 1] * cy + K[1, 2] * cz) * inv
+    return (jnp.stack([u, v], axis=-1),
+            jnp.stack([cx, cy, cz], axis=-1))
 
 
 def covariance_3d(q: jnp.ndarray, log_scale: jnp.ndarray) -> jnp.ndarray:
@@ -84,6 +90,87 @@ def project_covariance(
     JW = jnp.einsum("...ij,jk->...ik", J, R_cw, precision=HIGHEST)
     return jnp.einsum("...ij,...jk,...lk->...il", JW, Sigma, JW,
                   precision=HIGHEST)
+
+
+def project_cov2d_components(
+    q: jnp.ndarray,
+    log_scale: jnp.ndarray,
+    R_cw: jnp.ndarray,
+    K: jnp.ndarray,
+    xyz_cam: jnp.ndarray,
+):
+    """EWA covariance as explicit per-component formulas: (a, b, c) 1-D.
+
+    Mathematically identical to project_covariance, but expanded to scalar
+    broadcasts: XLA lowers batched (N, 3, 3) matmuls as "convolution
+    fusions" with small-matrix layouts that measured ~33 ms/frame at
+    N=428k on v5e — the same math as ~60 VPU flops/point runs in ~2 ms.
+
+    cov2d = B B^T with B = (J R_cw) (R(q) diag(exp(s))), where J is the
+    perspective Jacobian (reference GaussianPoint3D.py:65-87, :164-196).
+    """
+    fx = K[0, 0]
+    fy = K[1, 1]
+    x, y, z = xyz_cam[..., 0], xyz_cam[..., 1], xyz_cam[..., 2]
+    inv_z = 1.0 / z
+    jx = fx * inv_z          # J[0,0]
+    jy = fy * inv_z          # J[1,1]
+    jxz = -fx * x * inv_z * inv_z  # J[0,2]
+    jyz = -fy * y * inv_z * inv_z  # J[1,2]
+
+    # A = J @ R_cw, rows expressed with R_cw's (constant) rows
+    r0 = R_cw[0]
+    r1 = R_cw[1]
+    r2 = R_cw[2]
+    A0 = [jx * r0[i] + jxz * r2[i] for i in range(3)]
+    A1 = [jy * r1[i] + jyz * r2[i] for i in range(3)]
+
+    # R(q) entries (same formulas as quaternion_to_rotation_matrix)
+    qx, qy, qz, qw = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    xx, yy, zz = qx * qx, qy * qy, qz * qz
+    xy, xz, yz = qx * qy, qx * qz, qy * qz
+    wx, wy, wz = qw * qx, qw * qy, qw * qz
+    R = [
+        [1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)],
+        [2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)],
+        [2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)],
+    ]
+    s0 = jnp.exp(log_scale[..., 0])
+    s1 = jnp.exp(log_scale[..., 1])
+    s2 = jnp.exp(log_scale[..., 2])
+    s = (s0, s1, s2)
+
+    # B = A @ (R * s): B[r][k] = sum_i A[r][i] * R[i][k] * s[k]
+    def brow(A):
+        return [
+            (A[0] * R[0][k] + A[1] * R[1][k] + A[2] * R[2][k]) * s[k]
+            for k in range(3)
+        ]
+
+    B0 = brow(A0)
+    B1 = brow(A1)
+    a = B0[0] * B0[0] + B0[1] * B0[1] + B0[2] * B0[2]
+    b = B0[0] * B1[0] + B0[1] * B1[1] + B0[2] * B1[2]
+    c = B1[0] * B1[0] + B1[1] * B1[1] + B1[2] * B1[2]
+    return a, b, c
+
+
+def conic_rescale_radius_components(a, b, c):
+    """(a, b, c) -> (conic_a, conic_b, conic_c, rescale, radius), all 1-D.
+
+    Same math as conic_and_rescale + splat_radius without the (N, 2, 2)
+    intermediates (reference utils.py:257-274,
+    GaussianPointCloudRasterisation.py:309-315).
+    """
+    det_prefilter = a * c - b * b
+    af = a + COV2D_FILTER
+    cf = c + COV2D_FILTER
+    det = af * cf - b * b
+    rescale = jnp.sqrt(jnp.maximum(0.0, det_prefilter / det))
+    inv_det = 1.0 / det
+    lam_max = (a + c + jnp.sqrt((a - c) * (a - c) + 4.0 * b * b)) / 2.0
+    radius = jnp.sqrt(jnp.maximum(lam_max, 0.0)) * 3.0
+    return cf * inv_det, -b * inv_det, af * inv_det, rescale, radius
 
 
 def conic_and_rescale(cov2d: jnp.ndarray):

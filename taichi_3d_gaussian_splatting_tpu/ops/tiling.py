@@ -164,7 +164,10 @@ def build_tile_keys(
     counts = (bbox.max_u - bbox.min_u) * (bbox.max_v - bbox.min_v)
     counts = jnp.where(visible, counts, 0).astype(jnp.int32)
 
-    offsets = jnp.cumsum(counts) - counts  # exclusive
+    # cumsum in f32: XLA's i32 cumsum falls back to a serial scan at
+    # non-power-of-two lengths (measured 3.5 s at N=428k vs 2.7 ms in f32);
+    # exact while total keys < 2^24
+    offsets = jnp.cumsum(counts.astype(jnp.float32)).astype(jnp.int32) - counts
     total = offsets[-1] + counts[-1]
 
     dkey_pt = jnp.clip(
@@ -217,38 +220,19 @@ def build_tile_keys(
         tid_s, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left",
         method="sort",
     ).astype(jnp.int32)
-    counts_t = bounds[1:] - bounds[:-1]
 
-    # Re-layout into the CHUNK-aligned space. Per-slot tile metadata comes
-    # from a second diff-scatter + cumsum over the tiles; the permutation
-    # itself is ONE 2-column row gather at monotone indices.
-    cap_pad = padded_capacity(key_cap, num_tiles)
-    padded_len = ((counts_t + CHUNK - 1) // CHUNK) * CHUNK
-    padded_start = jnp.cumsum(padded_len) - padded_len
-    tcols = jnp.stack(
-        [jnp.arange(1, num_tiles + 1, dtype=jnp.int32), bounds[:-1],
-         padded_start, counts_t], axis=1,
-    )
-    TE = _expand_columns(tcols, padded_start, cap_pad)
-    tile_of_pad = jnp.clip(TE[:, 0] - 1, 0, num_tiles - 1)
-    bounds_e, pstart_e, counts_e = TE[:, 1], TE[:, 2], TE[:, 3]
-    pad_slot = jnp.arange(cap_pad, dtype=jnp.int32)
-    j_local = pad_slot - pstart_e
-    real = j_local < counts_e
-    src = jnp.clip(bounds_e + j_local, 0, key_cap - 1)
-
-    stacked = jnp.stack([pidx_s, orig_s], axis=1)  # (key_cap, 2)
-    rows = stacked[src]
-    point_idx = jnp.where(real, rows[:, 0], n)
-    orig_slot = jnp.where(real, rows[:, 1], key_cap + pad_slot)
-
+    # Keys stay in PLAIN sorted order: the blend kernels handle unaligned
+    # [start, end) ranges with lane masks (+ a read-modify-write of the one
+    # boundary window shared between consecutive tiles in the backward), so
+    # no chunk-aligned re-layout — and none of its expansion/gather cost —
+    # is needed.
     return TileKeys(
-        point_idx=point_idx,
-        orig_slot=orig_slot,
-        real=real,
-        tile_of_slot=tile_of_pad.astype(jnp.int32),
-        tile_start=padded_start.astype(jnp.int32),
-        tile_end=(padded_start + counts_t).astype(jnp.int32),
+        point_idx=pidx_s,
+        orig_slot=orig_s,
+        real=valid,                 # sorted: exactly the first `total` slots
+        tile_of_slot=jnp.minimum(tid_s, num_tiles - 1),
+        tile_start=bounds[:-1],
+        tile_end=bounds[1:],
         offsets=offsets,
         counts=counts,
         total=total,

@@ -202,3 +202,49 @@ class TestSHBasis:
         b1 = np.asarray(sh_basis(jnp.asarray(d)))
         b2 = np.asarray(sh_basis(jnp.asarray(d * 7.3)))
         np.testing.assert_allclose(b1, b2, atol=1e-6)
+
+
+class TestComponentEWA:
+    """The expanded scalar EWA path must match the matrix form exactly."""
+
+    def test_components_match_matrix_form(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from taichi_3d_gaussian_splatting_tpu.ops import projection as proj
+        from taichi_3d_gaussian_splatting_tpu.ops.transforms import (
+            quaternion_to_rotation_matrix,
+        )
+
+        rng = np.random.default_rng(4)
+        n = 200
+        q = rng.normal(size=(n, 4)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        log_s = rng.uniform(-3, 0, (n, 3)).astype(np.float32)
+        qc = rng.normal(size=4).astype(np.float32)
+        qc /= np.linalg.norm(qc)
+        R_cw = quaternion_to_rotation_matrix(jnp.asarray(qc))
+        K = jnp.asarray([[321.0, 0, 320], [0, 321.0, 240], [0, 0, 1]],
+                        jnp.float32)
+        xyz_cam = jnp.asarray(np.stack(
+            [rng.uniform(-2, 2, n), rng.uniform(-2, 2, n),
+             rng.uniform(1, 10, n)], -1).astype(np.float32))
+
+        cov_mat = proj.project_covariance(
+            jnp.asarray(q), jnp.asarray(log_s), R_cw, K, xyz_cam)
+        a, b, c = proj.project_cov2d_components(
+            jnp.asarray(q), jnp.asarray(log_s), R_cw, K, xyz_cam)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(cov_mat[:, 0, 0]),
+                                   rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(cov_mat[:, 0, 1]),
+                                   rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(c), np.asarray(cov_mat[:, 1, 1]),
+                                   rtol=2e-5, atol=1e-6)
+
+        conic_mat = proj.conic_and_rescale(cov_mat)
+        ca, cb, cc, resc, radius = proj.conic_rescale_radius_components(a, b, c)
+        np.testing.assert_allclose(
+            np.asarray(jnp.stack([ca, cb, cc, resc], -1)),
+            np.asarray(conic_mat), rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(radius), np.asarray(proj.splat_radius(cov_mat)),
+            rtol=2e-5)
