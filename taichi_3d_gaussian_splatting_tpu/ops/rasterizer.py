@@ -277,7 +277,7 @@ def build_keys(raw: RawAttrs, radius, invalid_mask, camera: Camera,
     keys = tiling.build_tile_keys(
         sg(raw.uv), sg(raw.depth), sg(radius), visible,
         camera.width, camera.height, cfg.tile_size, cfg.key_cap,
-        cfg.depth_to_sort_key_scale,
+        cfg.depth_to_sort_key_scale, interpret=cfg.interpret,
     )
     return keys, visible
 

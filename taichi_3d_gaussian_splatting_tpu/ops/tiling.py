@@ -147,6 +147,7 @@ def build_tile_keys(
     tile: int,
     key_cap: int,
     depth_to_sort_key_scale: float = 2.0**10,
+    interpret: bool = False,
 ) -> TileKeys:
     """Expand visible splats into per-tile keys and depth-sort within tiles.
 
@@ -213,13 +214,17 @@ def build_tile_keys(
     )
     tid_s = jax.lax.shift_right_logical(fused_s, dbits)
 
-    # Per-tile ranges over the sorted tile ids. method="sort" merges the
-    # queries into one cheap lax.sort; the default binary-search lowering
-    # costs ~14 us PER QUERY ELEMENT on TPU (serial dynamic slices).
-    bounds = jnp.searchsorted(
-        tid_s, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left",
-        method="sort",
-    ).astype(jnp.int32)
+    # Per-tile ranges from a Pallas bucket histogram over the (unsorted)
+    # tile ids + tiny cumsum — equivalent to searchsorted over the sorted
+    # ids but ~10x cheaper (searchsorted's sort lowering costs ~16 ms at 2M
+    # keys; the binary-search lowering ~14 us per query element).
+    from taichi_3d_gaussian_splatting_tpu.ops.histogram import bucket_histogram
+
+    counts_t = bucket_histogram(tid, num_tiles, interpret=interpret)
+    bounds = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.cumsum(counts_t.astype(jnp.float32)).astype(jnp.int32),
+    ])
 
     # Keys stay in PLAIN sorted order: the blend kernels handle unaligned
     # [start, end) ranges with lane masks (+ a read-modify-write of the one

@@ -84,7 +84,8 @@ class TestTiling:
         w = h = 64
         tile = 32
         keys = tiling.build_tile_keys(
-            uv, depth, radius, visible, w, h, tile, key_cap=1024
+            uv, depth, radius, visible, w, h, tile, key_cap=1024,
+            interpret=True,
         )
         # brute-force expected (tile -> set of point ids)
         bbox = tiling.tile_bbox(uv, radius, w, h, tile)
