@@ -22,9 +22,9 @@ Consequently this module performs ZERO single-column gathers:
 2. tile id and depth quantizer fuse into ONE int32 sort key
    (tid << depth_bits | dkey), sorted once with the point index and the
    pre-sort slot riding as payloads;
-3. the chunk-aligned re-layout decodes per-slot tile metadata with a second
-   diff-scatter + cumsum (over tiles) and realizes the permutation with a
-   single 2-column row gather at monotone indices.
+3. per-tile [start, end) ranges come from a Pallas bucket histogram +
+   tiny cumsum; keys stay in plain sorted order and the blend kernels
+   handle the unaligned ranges with lane masks.
 
 The key buffer has a static capacity `key_cap`; slots beyond the actual
 total get the sentinel tile id and sort to the end, outside every real
@@ -78,31 +78,26 @@ def tile_bbox(
     return TileBBox(min_tu, max_tu, min_tv, max_tv)
 
 
-CHUNK = 128  # must match blend_pallas.CHUNK: tile ranges are aligned to it
+CHUNK = 128  # must match blend_pallas.CHUNK (DMA window width)
 
 
-def padded_capacity(key_cap: int, num_tiles: int) -> int:
-    """Static size of the chunk-aligned key layout."""
-    return key_cap + CHUNK * num_tiles
 
 
 class TileKeys(NamedTuple):
-    """Depth-sorted per-tile key lists in a CHUNK-aligned static layout.
+    """Depth-sorted per-tile key lists in plain sorted order.
 
-    Each tile's keys occupy [tile_start[t], tile_start[t] + count) inside a
-    region padded up to a multiple of CHUNK (=128); the alignment lets the
-    Pallas kernels DMA (16, 128) windows at lane-aligned offsets (Mosaic
-    rejects unaligned / narrow HBM slices) and gives every tile a private
-    scratch tail for its last partial chunk.
+    Each tile's keys occupy the unaligned range
+    [tile_start[t], tile_end[t]); slots beyond `total` hold sentinel keys
+    that sort to the end, outside every tile's range. The blend kernels DMA
+    CHUNK-aligned windows around each range and mask the straddling lanes.
     """
 
-    point_idx: jnp.ndarray    # (cap_pad,) int32 pool slot per key (pad: N)
-    orig_slot: jnp.ndarray    # (cap_pad,) int32 pre-sort slot; pads get
-                              # key_cap + j (unique, sort after all real)
-    real: jnp.ndarray         # (cap_pad,) bool: actual key vs padding
-    tile_of_slot: jnp.ndarray # (cap_pad,) int32 owning tile of each slot
-    tile_start: jnp.ndarray   # (num_tiles,) int32, CHUNK-aligned
-    tile_end: jnp.ndarray     # (num_tiles,) int32 = start + true count
+    point_idx: jnp.ndarray    # (key_cap,) int32 pool slot per key (pad: N)
+    orig_slot: jnp.ndarray    # (key_cap,) int32 pre-sort slot (permutation)
+    real: jnp.ndarray         # (key_cap,) bool: actual key vs padding
+    tile_of_slot: jnp.ndarray # (key_cap,) int32 owning tile of each key
+    tile_start: jnp.ndarray   # (num_tiles,) int32 (unaligned)
+    tile_end: jnp.ndarray     # (num_tiles,) int32
     offsets: jnp.ndarray      # (N,) int32 exclusive cumsum of per-point counts
     counts: jnp.ndarray       # (N,) int32 per-point key counts (masked)
     total: jnp.ndarray        # () int32 true number of keys (may exceed cap)
