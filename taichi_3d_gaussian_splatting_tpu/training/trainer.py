@@ -583,6 +583,7 @@ class GaussianPointCloudTrainer:
                 self._scalar("train/ssim", s, iteration)
                 nv = int(state.scene.num_valid())
                 self._scalar("train/num_valid_points", nv, iteration)
+                self._log_histograms(state, aux, iteration)
                 self._scalar("train/steps_per_s",
                              (iteration + 1) / (time.time() - t_start),
                              iteration)
@@ -627,6 +628,30 @@ class GaussianPointCloudTrainer:
 
         self.scene = state.scene
         return state
+
+    def _log_histograms(self, state, aux, iteration: int) -> None:
+        """Parameter/gradient histograms (reference _plot_value_histogram /
+        _plot_grad_histogram, GaussianPointTrainer.py:295-340), at the
+        metrics cadence instead of every densify step."""
+        if self.writer is None:
+            return
+        feats = np.asarray(state.scene.features)
+        valid = ~np.asarray(state.scene.invalid)
+        if valid.sum() == 0:
+            return
+        f = feats[valid]
+        self.writer.add_histogram("value/q", f[:, 0:4], iteration)
+        self.writer.add_histogram("value/s", f[:, 4:7], iteration)
+        self.writer.add_histogram("value/alpha", f[:, 7], iteration)
+        self.writer.add_histogram("value/sh_dc", f[:, [8, 24, 40]], iteration)
+        self.writer.add_histogram(
+            "value/xyz", np.asarray(state.scene.xyz)[valid], iteration)
+        stats = aux.get("stats")
+        if stats is not None:
+            mag = np.asarray(stats.magnitude_grad_viewspace)[valid]
+            if np.isfinite(mag).all() and mag.size:
+                self.writer.add_histogram("grad/viewspace_magnitude", mag,
+                                          iteration)
 
     def _log_images(self, item, metrics, aux, iteration: int,
                     problematic: bool = False) -> None:
