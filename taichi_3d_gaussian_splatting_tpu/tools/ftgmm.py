@@ -73,20 +73,44 @@ def gmm_covariances(gmm: SceneGMM) -> jnp.ndarray:
     return m @ jnp.swapaxes(m, -1, -2)
 
 
-def gmm_log_prob(gmm: SceneGMM, coords: jnp.ndarray) -> jnp.ndarray:
+def gmm_log_prob(gmm: SceneGMM, coords: jnp.ndarray,
+                 comp_chunk: int = 4096) -> jnp.ndarray:
     """log p(x) for coords (..., 3) — logsumexp over components.
 
     Mahalanobis distance via the ellipsoid frame: y = S^-1 R^T (x - mu),
     so no Cholesky (and no f64 fallback, reference :29-83) is needed.
+    Components stream in chunks of ``comp_chunk`` (a dense (P, N, 3)
+    intermediate exhausted HBM mid-training once densification grew N);
+    per-chunk logsumexps combine exactly with a final logsumexp.
     """
     flat = coords.reshape(-1, 3)
-    diff = flat[:, None, :] - gmm.means[None, :, :]          # (P, N, 3)
-    local = jnp.einsum("nij,pni->pnj", gmm.rot, diff)        # R^T (x - mu)
-    y = local / gmm.scales[None, :, :]
-    maha = jnp.sum(y * y, axis=-1)                           # (P, N)
-    log_det = 2.0 * jnp.sum(jnp.log(gmm.scales), axis=-1)    # (N,)
-    log_comp = -0.5 * (maha + log_det + 3.0 * LOG_2PI)
-    lp = jax.nn.logsumexp(log_comp + gmm.log_weights[None, :], axis=-1)
+    n = gmm.means.shape[0]
+    nc = -(-n // comp_chunk)
+    pad = nc * comp_chunk - n
+
+    def pad0(x, fill=0.0):
+        width = ((0, pad),) + ((0, 0),) * (x.ndim - 1)
+        return jnp.pad(x, width, constant_values=fill)
+
+    means = pad0(gmm.means).reshape(nc, comp_chunk, 3)
+    rot = pad0(gmm.rot).reshape(nc, comp_chunk, 3, 3)
+    scales = jnp.pad(gmm.scales, ((0, pad), (0, 0)),
+                     constant_values=1.0).reshape(nc, comp_chunk, 3)
+    log_w = jnp.pad(gmm.log_weights, (0, pad),
+                    constant_values=-jnp.inf).reshape(nc, comp_chunk)
+
+    def chunk_lse(args):
+        mu, r, s, lw = args
+        diff = flat[:, None, :] - mu[None, :, :]              # (P, C, 3)
+        local = jnp.einsum("nij,pni->pnj", r, diff)           # R^T (x - mu)
+        y = local / s[None, :, :]
+        maha = jnp.sum(y * y, axis=-1)                        # (P, C)
+        log_det = 2.0 * jnp.sum(jnp.log(s), axis=-1)          # (C,)
+        log_comp = -0.5 * (maha + log_det + 3.0 * LOG_2PI)
+        return jax.nn.logsumexp(log_comp + lw[None, :], axis=-1)
+
+    partial = jax.lax.map(chunk_lse, (means, rot, scales, log_w))  # (nc, P)
+    lp = jax.nn.logsumexp(partial, axis=0)
     return lp.reshape(coords.shape[:-1])
 
 
