@@ -160,39 +160,60 @@ def fourier_coords(grid_size: int, bbox_min: np.ndarray,
     return np.fft.fftshift(k, axes=(0, 1, 2))
 
 
-def gmm_fourier(gmm: SceneGMM, k: jnp.ndarray, bbox_min, bbox_max) -> jnp.ndarray:
+def gmm_fourier(gmm: SceneGMM, k: jnp.ndarray, bbox_min, bbox_max,
+                freq_chunk: int = 1024) -> jnp.ndarray:
     """Closed-form mixture Fourier transform at angular frequencies k
     (..., 3): F(k) = sum_i w_i exp(-i k.(mu_i - c) - k^T Sigma_i k / 2)
-    (reference transform_gmm_to_fourier1 :363-437)."""
+    (reference transform_gmm_to_fourier1 :363-437). Frequencies stream in
+    chunks: the dense (K, N, 3) intermediate is ~8 GB at a 35^3 grid and
+    16k components."""
     center = jnp.asarray((bbox_min + bbox_max) / 2.0, jnp.float32)
     flat = k.reshape(-1, 3).astype(jnp.float32)
+    kn = flat.shape[0]
+    nc = -(-kn // freq_chunk)
+    flat = jnp.pad(flat, ((0, nc * freq_chunk - kn), (0, 0)))
     shifted = gmm.means - center
-    phase = flat @ shifted.T                                  # (K, N)
-    kr = jnp.einsum("kd,ndi->kni", flat, gmm.rot)             # k^T R
-    quad = jnp.sum((kr * gmm.scales[None]) ** 2, axis=-1)     # k^T Sigma k
     w = jnp.exp(gmm.log_weights)
-    f = jnp.sum(
-        w[None, :] * jnp.exp(-0.5 * quad) * jnp.exp(-1j * phase), axis=-1
-    )
+
+    def chunk(fk):
+        phase = fk @ shifted.T                                # (C, N)
+        kr = jnp.einsum("kd,ndi->kni", fk, gmm.rot)           # k^T R
+        quad = jnp.sum((kr * gmm.scales[None]) ** 2, axis=-1)
+        return jnp.sum(
+            w[None, :] * jnp.exp(-0.5 * quad) * jnp.exp(-1j * phase),
+            axis=-1,
+        )
+
+    f = jax.lax.map(chunk, flat.reshape(nc, freq_chunk, 3)).reshape(-1)[:kn]
     return f.reshape(k.shape[:-1])
 
 
 def compare_fft_vs_closed_form(gmm: SceneGMM, volume, bbox_min, bbox_max):
     """DFT-vs-analytic comparison metrics (reference
-    compare_gmm_volume_to_transforms :278-360, minus the plotting)."""
+    compare_gmm_volume_to_transforms :278-360, minus the plotting).
+
+    Returns numpy complex arrays: the device->host transfer happens on
+    stacked (real, imag) float pairs because complex64 transfers are
+    unimplemented on some TPU runtimes."""
     grid_size = volume.shape[0]
     dft = volume_to_fourier(volume)
     k = jnp.asarray(fourier_coords(grid_size, bbox_min, bbox_max))
     analytic = gmm_fourier(gmm, k, bbox_min, bbox_max)
     mag_err = jnp.abs(jnp.abs(dft) - jnp.abs(analytic))
+
+    def to_np_complex(z):
+        ri = np.asarray(jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1))
+        return ri[..., 0] + 1j * ri[..., 1]
+
+    dft_np = to_np_complex(dft)
+    analytic_np = to_np_complex(analytic)
+    mid = grid_size // 2
     return {
         "mag_err_mean": float(jnp.mean(mag_err)),
         "mag_err_max": float(jnp.max(mag_err)),
-        "dc_dft": complex(dft[grid_size // 2, grid_size // 2, grid_size // 2]),
-        "dc_analytic": complex(
-            analytic[grid_size // 2, grid_size // 2, grid_size // 2]
-        ),
-    }, dft, analytic
+        "dc_dft": complex(dft_np[mid, mid, mid]),
+        "dc_analytic": complex(analytic_np[mid, mid, mid]),
+    }, dft_np, analytic_np
 
 
 def ft_grab_scene(scene: GaussianScene, grid_size: int = 35,
