@@ -70,7 +70,7 @@ def ring_cameras(n, radius=6.0, height=1.5, hw=256, fov_f=300.0):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--iterations", type=int, default=2000)
+    parser.add_argument("--iterations", type=int, default=2001)
     parser.add_argument("--views", type=int, default=48)
     parser.add_argument("--hw", type=int, default=256)
     parser.add_argument("--out", type=str, default="/tmp/quality_run")
@@ -169,7 +169,7 @@ def main():
             "num_iterations_densify": 100,
             "densification_view_space_position_gradients_threshold": 3e-6,
             "under_reconstructed_num_pixels_threshold": 32,
-            "num_iterations_reset_alpha": 1500,
+            "num_iterations_reset_alpha": 100000,  # off for short runs
             "reset_alpha_value": -1.9,
             "transparent_alpha_threshold": -2.0,
         },

@@ -270,10 +270,17 @@ def main():
     parser.add_argument("--parquet_path_list", type=str, nargs="+",
                         required=True)
     parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--ftgmm", action="store_true", default=False,
+                        help="run the GMM Fourier analysis at startup "
+                             "(reference visualizer.py:107)")
     args = parser.parse_args()
     config = VisualizerConfig(parquet_paths=args.parquet_path_list,
                               port=args.port)
     vis = GaussianPointVisualizer(config)
+    if args.ftgmm:
+        from taichi_3d_gaussian_splatting_tpu.tools.ftgmm import ft_grab_scene
+
+        print("ftgmm:", ft_grab_scene(vis.scene))
     serve(vis, args.port)
 
 
