@@ -189,13 +189,18 @@ def _blend_bwd_impl(raw, keys, table, out_tiles, d_rgb_tiles, tile, grid_hw,
     )
 
     # tile-layout order -> original-key order -> per-point rows, realized
-    # as one payload-riding sort (tiling.regroup_rows_by_slot). Slots
-    # beyond the true key count were never written by any tile
+    # as one payload-riding sort (tiling.regroup_rows_by_slot). Only the 12
+    # meaningful rows ride the sort (payload cost scales with operand
+    # count); rows 12-15 are structurally zero and are re-padded after.
+    # Slots beyond the true key count were never written by any tile
     # (uninitialized output memory) — zero them so the reduction matmul
     # can't be poisoned.
-    d_orig = tiling.regroup_rows_by_slot(
-        d_table_sorted, keys.orig_slot, cfg.key_cap
-    )  # (16, key_cap)
+    d_orig12 = tiling.regroup_rows_by_slot(
+        d_table_sorted[:12], keys.orig_slot, cfg.key_cap
+    )  # (12, key_cap)
+    d_orig = jnp.concatenate(
+        [d_orig12, jnp.zeros((4, cfg.key_cap), jnp.float32)], axis=0
+    )
     slot = jnp.arange(cfg.key_cap, dtype=jnp.int32)
     d_orig = jnp.where((slot < keys.total)[None, :], d_orig, 0.0)
     d_orig = jnp.pad(d_orig, ((0, 0), (0, segment_reduce_mod.WINDOW)))

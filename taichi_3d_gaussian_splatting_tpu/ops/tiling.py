@@ -113,16 +113,23 @@ def _expand_columns(cols: jnp.ndarray, offsets: jnp.ndarray, cap: int):
     with their successor and telescope away).
 
     Mechanism: scatter-ADD consecutive row differences at the offsets, then
-    integrate with one cumsum. Sums of ties telescope, so the cumsum equals
-    the last tied row. Costs one (N, C) scatter-add + one (cap, C) cumsum —
-    both measured fast — instead of C single-column gathers (measured
-    catastrophically slow on TPU).
+    integrate with a cumsum. Sums of ties telescope, so the cumsum equals
+    the last tied row. The scatter runs COLUMN BY COLUMN with the update
+    count padded to a power of two: 1-col scatter-adds measured ~4x faster
+    than the (N, C) row form, which can also fall into a pathologically
+    serial lowering (50 s at N=428k) at some shapes.
     """
-    diffs = jnp.diff(cols, axis=0, prepend=jnp.zeros((1, cols.shape[1]),
-                                                     cols.dtype))
-    grid = jnp.zeros((cap, cols.shape[1]), cols.dtype)
-    grid = grid.at[offsets].add(diffs, mode="drop")
-    return jnp.cumsum(grid, axis=0)
+    n, c = cols.shape
+    n_pad = 1 << max((n - 1).bit_length(), 1)
+    diffs = jnp.diff(cols, axis=0, prepend=jnp.zeros((1, c), cols.dtype))
+    diffs = jnp.pad(diffs, ((0, n_pad - n), (0, 0)))
+    offsets_p = jnp.pad(offsets, (0, n_pad - n), constant_values=cap + 1)
+    out_cols = []
+    for j in range(c):
+        grid = jnp.zeros((cap,), cols.dtype).at[offsets_p].add(
+            diffs[:, j], mode="drop")
+        out_cols.append(jnp.cumsum(grid))
+    return jnp.stack(out_cols, axis=1)
 
 
 def _depth_bits(num_tiles: int) -> int:
