@@ -41,7 +41,8 @@ def analyze(trace_dir: str, runs: int) -> None:
         print(f"  {dur / runs:7.2f}  {src}")
 
 
-def capture(trace_dir: str, n_points: int, runs: int) -> None:
+def capture(trace_dir: str, n_points: int, runs: int,
+            grad: bool = False) -> None:
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -71,7 +72,13 @@ def capture(trace_dir: str, n_points: int, runs: int) -> None:
     cfg = RasterizerConfig(tile_size=32, key_cap=2**21,
                            interpret=jax.devices()[0].platform == "cpu",
                            extra_info=False)
-    f = jax.jit(lambda x, fe: rasterize(x, fe, invalid, Q, T, cam, cfg).rgb)
+    if grad:
+        f = jax.jit(lambda x, fe: jax.grad(
+            lambda a, b: jnp.sum(rasterize(a, b, invalid, Q, T, cam, cfg).rgb),
+            argnums=(0, 1))(x, fe)[0])
+    else:
+        f = jax.jit(
+            lambda x, fe: rasterize(x, fe, invalid, Q, T, cam, cfg).rgb)
     o = f(xyz, feats)
     jax.block_until_ready(o)
     with jax.profiler.trace(trace_dir):
@@ -86,11 +93,13 @@ def main():
     parser.add_argument("--runs", type=int, default=3)
     parser.add_argument("--out", type=str, default="/tmp/gs_trace")
     parser.add_argument("--analyze-only", type=str, default=None)
+    parser.add_argument("--grad", action="store_true",
+                        help="profile the fwd+bwd step instead of forward")
     args = parser.parse_args()
     if args.analyze_only:
         analyze(args.analyze_only, args.runs)
         return
-    capture(args.out, args.points, args.runs)
+    capture(args.out, args.points, args.runs, grad=args.grad)
     analyze(args.out, args.runs)
 
 

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from taichi_3d_gaussian_splatting_tpu.ops import blend_pallas, tiling
 from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import (
-    Camera, RasterizerConfig, _build_table, build_keys, compute_raw_attrs,
+    Camera, RasterizerConfig, build_keys, compute_raw_attrs,
     rasterize,
 )
 
@@ -97,20 +97,15 @@ def main():
 
     (raw, radius) = jax.jit(
         lambda x, f: compute_raw_attrs(x, f, Q_ID, T_ID, cam))(xyz, feats)
-    keys, visible = jax.jit(
+    keys, table, visible = jax.jit(
         lambda r, rad: build_keys(r, rad, invalid, cam, cfg))(raw, radius)
     print(f"  total keys: {int(keys.total)} / cap {cfg.key_cap}", flush=True)
 
-    bench_injit(lambda r, rad: build_keys(r, rad, invalid, cam, cfg),
-                1, raw, radius, name="build_keys (tiling+sort)")
+    bench_injit(lambda r, rad: build_keys(r, rad, invalid, cam, cfg)[1],
+                1, raw, radius, name="build_keys+table (expand+sort)")
 
     tiles_x = w // cfg.tile_size
     tiles_y = h // cfg.tile_size
-    bench_injit(lambda r, k: _build_table(r, k, tiles_x, cfg.tile_size),
-                0, raw, keys, name="build table (gather)")
-
-    table = jax.jit(
-        lambda r, k: _build_table(r, k, tiles_x, cfg.tile_size))(raw, keys)
 
     bench_injit(
         functools.partial(blend_pallas.blend_forward, tile=cfg.tile_size,
@@ -142,13 +137,9 @@ def main():
     def bwd_tail(d_sorted, keys):
         d_orig = tiling.regroup_rows_by_slot(
             d_sorted, keys.orig_slot, cfg.key_cap)
-        slot = jnp.arange(cfg.key_cap, dtype=jnp.int32)
-        d_orig = jnp.where((slot < keys.total)[None, :], d_orig, 0.0)
-        from taichi_3d_gaussian_splatting_tpu.ops import segment_reduce as sr
-        d_orig = jnp.pad(d_orig, ((0, 0), (0, sr.WINDOW)))
         return segment_reduce(d_orig, keys.offsets, keys.counts)
 
-    bench_injit(bwd_tail, 0, d_table, keys, name="bwd inv+gather+segreduce")
+    bench_injit(bwd_tail, 0, d_table, keys, name="bwd regroup+segreduce")
 
     bench_injit(
         lambda x, f: rasterize(x, f, invalid, Q_ID, T_ID, cam, cfg).rgb,

@@ -311,7 +311,7 @@ def _backward_kernel(
     # scalar prefetch
     start_ref, end_ref,
     # inputs
-    table_hbm, g_ref, cfin_ref,
+    table_hbm, g_ref, cfin_ref, dtab_init_hbm,
     # outputs
     dtab_hbm, imggrad_ref,
     # scratch
@@ -517,10 +517,17 @@ def blend_backward(
     *, tile: int, tiles_x: int, tiles_y: int, extra_info: bool = True,
     interpret: bool = False,
 ):
-    """Returns (d_table (16, cap_pad), |grad_uv| image (num_tiles, px, 2))."""
+    """Returns (d_table (16, cap_pad), |grad_uv| image (num_tiles, px, 2)).
+
+    The d_table output is ALIASED onto a zero-filled input, so lanes the
+    sweep never writes (beyond the last tile's aligned window chain) are
+    zeros, not garbage — the downstream segment reduction relies on this
+    (0 * NaN would poison its membership matmul).
+    """
     num_tiles = tiles_x * tiles_y
     px_count = tile * tile
     cap_pad = table.shape[1]
+    dtab_init = jnp.zeros((16, cap_pad), jnp.float32)
     kernel = functools.partial(_backward_kernel, tile=tile,
                                extra_info=extra_info)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -532,6 +539,7 @@ def blend_backward(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, px_count, 4), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -555,8 +563,11 @@ def blend_backward(
             jax.ShapeDtypeStruct((16, cap_pad), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles, px_count, 2), jnp.float32),
         ),
+        # input indices count the scalar-prefetch operands: dtab_init is
+        # flattened input 5, aliased onto output 0 (d_table)
+        input_output_aliases={5: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(tile_start, tile_end, table, d_rgb_tiles, cfin_tiles)
+    )(tile_start, tile_end, table, d_rgb_tiles, cfin_tiles, dtab_init)

@@ -1,0 +1,207 @@
+"""Pallas key-expansion kernel: per-point rows -> per-key rows + sort keys.
+
+Behavioral reference: GaussianPointCloudRasterisation.py:131-172 (K3,
+generate_point_sort_key_by_num_overlap_tiles) — each visible splat emits one
+key per covered tile at slots [offset, offset + count). The reference
+scatters from a point-parallel CUDA kernel; XLA's scatter lowering makes the
+equivalent diff-scatter + cumsum broadcast cost ~19 ms at 2M key slots
+(see the tpu-v5e cost notes in ops/tiling.py).
+
+TPU-native design: the expansion is a one-hot MATMUL. Key slots are tiled
+into windows; for each window the kernel loads the candidate point columns
+(points are intervals in key-slot space, so a window's candidates are one
+contiguous run of at most `window+1` points once zero-count points are
+partitioned out) and broadcasts every per-point column to its key slots with
+
+    E (16, SUBKEYS) = cand_cols (16, CSUB) @ member (SUBKEYS, CSUB)^T
+
+where member[k, i] = (off_i <= k < off_i + cnt_i). Each key column has
+EXACTLY ONE nonzero, so the f32 HIGHEST matmul is bit-exact (the bf16x3
+decomposition of an f32 reconstructs it exactly; products are x 1.0).
+
+From the expanded meta columns the kernel decodes the covered-tile id
+(u-major within the bbox, matching reference :152-157), fuses it with the
+fixed-point depth key into one int32 sort key, converts splat centers to
+tile-local coordinates, and emits the (16, key_cap) blend attribute table
+in pre-sort key order — every column then rides `lax.sort` as payloads,
+which measure ~free, replacing a 15 ms post-sort row gather.
+
+Candidate layout (16, n_pad) f32 SoA (minor dim = points: Mosaic requires
+128-lane-aligned slices, so the point axis must be the lane axis),
+partitioned (count>0 prefix, original relative order preserved — offsets
+stay non-decreasing):
+  row 0 off (first key slot)   1 cnt (covered tiles)  2 dkey (depth key)
+  row 3 base (first tile id)   4 h (bbox tile height) 5 pidx (pool slot)
+  rows 6..15: u, v, conic_a, conic_b, conic_c, log(rescale*opacity),
+              r, g, b, depth  (pre-sanitized, global pixel coords)
+All integer rows are exact in f32 (requires total keys < 2^24, the same
+bound the f32 offset cumsum already imposes).
+
+Output table rows (16, key_cap), pre-sort key order:
+  0..9 u_local, v_local, a, b, c, logro, r, g, b, depth   10 pidx
+  11..15 zero — matching blend_pallas's table contract after sorting.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+WKEYS = 2048     # key slots per grid step
+SUBKEYS = 512    # key slots per inner matmul tile
+CAND_CAP = 2304  # candidate lanes DMA'd per step (>= WKEYS + 1 + 128 align)
+CSUB = 640       # candidate lanes per inner matmul tile (>= SUBKEYS+1+128)
+ALIGN = 128      # lane alignment of every dynamic slice
+PAD_OFF = float(1 << 30)  # off value of non-key-owning candidate lanes
+
+
+def _expand_kernel(
+    # scalar prefetch
+    lo_ref,        # (nw,) int32 first candidate lane per window (128-aligned)
+    lim_ref,       # (2,) int32: [min(total, cap), sentinel_key]
+    # inputs
+    cand_hbm,      # (16, n_pad) f32 candidate columns
+    # outputs
+    fused_ref,     # (1, wk) int32 fused sort keys
+    tbl_ref,       # (16, wk) f32 attribute table (pre-sort order)
+    # scratch
+    cand_ref, sem,
+    *, wk: int, sub: int, cand_cap: int, csub: int, nw: int,
+    tiles_u: int, tile: int, dbits: int, num_tiles: int,
+):
+    w = pl.program_id(0)
+    lim = lim_ref[0]
+    sentinel = lim_ref[1]
+
+    def get_dma(slot, widx):
+        # lo values are host-aligned to ALIGN; re-derive so Mosaic can prove
+        # lane-tile divisibility of the slice offset
+        lo = pl.multiple_of((lo_ref[widx] // ALIGN) * ALIGN, ALIGN)
+        return pltpu.make_async_copy(
+            cand_hbm.at[:, pl.ds(lo, cand_cap)],
+            cand_ref.at[slot], sem.at[slot],
+        )
+
+    @pl.when(w == 0)
+    def _():
+        get_dma(0, 0).start()
+
+    get_dma(w % 2, w).wait()
+
+    @pl.when(w + 1 < nw)
+    def _():
+        get_dma((w + 1) % 2, w + 1).start()
+
+    off_full = cand_ref[w % 2, 0:1, :]  # (1, cand_cap)
+
+    nsub = wk // sub
+    for s in range(nsub):
+        sub_base = w * wk + s * sub
+        if csub < cand_cap:
+            # candidates of this sub-window: one contiguous run starting at
+            # (#cands with off < sub_base) - 1; find it with one reduction.
+            # (csub covers the run: <= sub+1 candidates plus <= 127 lanes of
+            # alignment/clamp slack.)
+            n_lt = jnp.sum((off_full < jnp.float32(sub_base)).astype(
+                jnp.float32)).astype(jnp.int32)
+            start = jnp.maximum(n_lt - 1, 0)
+            start = jnp.minimum((start // ALIGN) * ALIGN, cand_cap - csub)
+            start = pl.multiple_of(start, ALIGN)
+            cs = cand_ref[w % 2, :, pl.ds(start, csub)]  # (16, csub)
+        else:
+            cs = cand_ref[w % 2]
+        off = cs[0:1, :]
+        cnt = cs[1:2, :]
+        gidc = (jnp.float32(sub_base)
+                + jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
+                .astype(jnp.float32))  # (sub, 1) key slot ids, f32 exact
+        member = jnp.logical_and(off <= gidc, gidc < off + cnt).astype(
+            jnp.float32)  # (sub, csub)
+        E = jax.lax.dot_general(
+            cs, member, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HIGHEST,
+        )  # (16, sub) — exact: one nonzero per key column
+
+        gid = (jnp.int32(sub_base)
+               + jax.lax.broadcasted_iota(jnp.int32, (1, sub), 1))
+        off_i = E[0:1, :].astype(jnp.int32)
+        dkey = E[2:3, :].astype(jnp.int32)
+        base = E[3:4, :].astype(jnp.int32)
+        hh = jnp.maximum(E[4:5, :].astype(jnp.int32), 1)
+        # u-major local tile decode (reference K3 :152-157)
+        j = gid - off_i
+        du = j // hh
+        dv = j - du * hh
+        tid = base + du + dv * tiles_u
+        valid = gid < lim
+        fused = jnp.where(valid, tid * (2 ** dbits) + dkey, sentinel)
+        fused_ref[0:1, s * sub:(s + 1) * sub] = fused
+
+        # tile-local splat centers (blend kernels need small exact coords)
+        cx = (tid - (tid // tiles_u) * tiles_u).astype(jnp.float32) * tile
+        cy = (tid // tiles_u).astype(jnp.float32) * tile
+        u_l = jnp.where(valid, E[6:7, :] - cx, 0.0)
+        v_l = jnp.where(valid, E[7:8, :] - cy, 0.0)
+        zero = jnp.zeros((1, sub), jnp.float32)
+        tbl_ref[:, s * sub:(s + 1) * sub] = jnp.concatenate(
+            [u_l, v_l, E[8:16, :], E[5:6, :],  # rows 0..9 attrs, 10 pidx
+             zero, zero, zero, zero, zero],
+            axis=0,
+        )
+
+
+def expand_keys(
+    cand: jnp.ndarray,     # (16, n_pad) f32 partitioned candidate columns
+    lo: jnp.ndarray,       # (nw,) int32 128-aligned window candidate starts
+    lim: jnp.ndarray,      # (2,) int32 [min(total, cap), sentinel]
+    *, key_cap: int, tiles_u: int, tile: int, dbits: int, num_tiles: int,
+    interpret: bool = False,
+):
+    """Returns (fused (key_cap,) int32, table (16, key_cap) f32)."""
+    n_pad = cand.shape[1]
+    wk = min(WKEYS, key_cap)
+    sub = min(SUBKEYS, wk)
+    cand_cap = min(CAND_CAP, n_pad)
+    csub = min(CSUB, cand_cap)
+    nw = key_cap // wk
+    assert key_cap % wk == 0 and wk % sub == 0
+    assert n_pad % ALIGN == 0 and cand_cap % ALIGN == 0
+    assert lo.shape == (nw,)
+
+    kernel = functools.partial(
+        _expand_kernel, wk=wk, sub=sub, cand_cap=cand_cap, csub=csub, nw=nw,
+        tiles_u=tiles_u, tile=tile, dbits=dbits, num_tiles=num_tiles,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nw,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=(
+            pl.BlockSpec((1, wk), lambda w, *_: (0, w),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, wk), lambda w, *_: (0, w),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, cand_cap), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    fused, tbl = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, key_cap), jnp.int32),
+            jax.ShapeDtypeStruct((16, key_cap), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(lo, lim, cand)
+    return fused[0], tbl

@@ -39,7 +39,6 @@ from taichi_3d_gaussian_splatting_tpu.ops.attributes import (
     compute_point_attributes,
     frustum_cull_mask,
 )
-from taichi_3d_gaussian_splatting_tpu.ops import segment_reduce as segment_reduce_mod
 from taichi_3d_gaussian_splatting_tpu.ops.segment_reduce import segment_reduce
 from taichi_3d_gaussian_splatting_tpu.ops.transforms import (
     inverse_qt,
@@ -131,30 +130,21 @@ def _zero_cot(x):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _blend_core(raw: RawAttrs, keys: tiling.TileKeys, tile: int,
-                grid_hw: tuple, cfg: RasterizerConfig):
-    out, _ = _blend_core_fwd(raw, keys, tile, grid_hw, cfg)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _blend_core(raw: RawAttrs, table: jnp.ndarray, keys: tiling.TileKeys,
+                tile: int, grid_hw: tuple, cfg: RasterizerConfig):
+    out, _ = _blend_core_fwd(raw, table, keys, tile, grid_hw, cfg)
     return out
 
 
-def _build_table(raw: RawAttrs, keys: tiling.TileKeys, tiles_x: int,
-                 tile: int):
-    raw_n = blend_pallas.pack_raw_columns(
-        raw.uv, raw.conic, raw.opacity, raw.color, raw.depth
-    )
-    # pad slots point at pool slot N (one extra zero row)
-    raw_n = jnp.concatenate([raw_n, jnp.zeros((1, 16), raw_n.dtype)], axis=0)
-    gathered = raw_n[keys.point_idx]
-    return blend_pallas.finalize_table(
-        gathered, keys.tile_of_slot, tiles_x, tile
-    )
-
-
-def _blend_core_fwd(raw: RawAttrs, keys: tiling.TileKeys, tile: int,
-                    grid_hw: tuple, cfg: RasterizerConfig):
+def _blend_core_fwd(raw: RawAttrs, table: jnp.ndarray, keys: tiling.TileKeys,
+                    tile: int, grid_hw: tuple, cfg: RasterizerConfig):
+    # `table` is the sorted attribute table from the tiling stage (the
+    # attribute values rode the key sort as payloads); it is numerically a
+    # function of `raw` but arrives stop_gradient'd — the manual backward
+    # below (segment-reduce of per-key rows) IS its adjoint, returned as
+    # the cotangent of `raw`.
     tiles_x, tiles_y = grid_hw
-    table = _build_table(raw, keys, tiles_x, tile)
     out_tiles = blend_pallas.blend_forward(
         table, keys.tile_start, keys.tile_end,
         tile=tile, tiles_x=tiles_x, tiles_y=tiles_y, interpret=cfg.interpret,
@@ -168,7 +158,7 @@ def _blend_core_bwd(tile, grid_hw, cfg, residuals, d_out_tiles):
     d_raw, _ = _blend_bwd_impl(
         raw, keys, table, out_tiles, d_out_tiles[..., 0:3], tile, grid_hw, cfg
     )
-    return d_raw, jax.tree.map(_zero_cot, keys)
+    return d_raw, jnp.zeros_like(table), jax.tree.map(_zero_cot, keys)
 
 
 def _blend_bwd_impl(raw, keys, table, out_tiles, d_rgb_tiles, tile, grid_hw,
@@ -188,22 +178,20 @@ def _blend_bwd_impl(raw, keys, table, out_tiles, d_rgb_tiles, tile, grid_hw,
         extra_info=cfg.extra_info, interpret=cfg.interpret,
     )
 
-    # tile-layout order -> original-key order -> per-point rows, realized
-    # as one payload-riding sort (tiling.regroup_rows_by_slot). Only the 12
-    # meaningful rows ride the sort (payload cost scales with operand
-    # count); rows 12-15 are structurally zero and are re-padded after.
-    # Slots beyond the true key count were never written by any tile
-    # (uninitialized output memory) — zero them so the reduction matmul
-    # can't be poisoned.
-    d_orig12 = tiling.regroup_rows_by_slot(
-        d_table_sorted[:12], keys.orig_slot, cfg.key_cap
-    )  # (12, key_cap)
-    d_orig = jnp.concatenate(
-        [d_orig12, jnp.zeros((4, cfg.key_cap), jnp.float32)], axis=0
-    )
-    slot = jnp.arange(cfg.key_cap, dtype=jnp.int32)
-    d_orig = jnp.where((slot < keys.total)[None, :], d_orig, 0.0)
-    d_orig = jnp.pad(d_orig, ((0, 0), (0, segment_reduce_mod.WINDOW)))
+    # tile-layout order -> original-key order, realized as one
+    # payload-riding sort (tiling.regroup_rows_by_slot), then per-point
+    # rows via the ragged segment reduction. No masking/padding glue: the
+    # blend backward zero-fills unwritten lanes (aliased output) and the
+    # reduction kernel clamps its windows to the array. Only the 11
+    # meaningful rows ride (row 9 is structurally zero; rows 12-15 unused):
+    # 12 sort operands total — one more hits the variadic-sort cost cliff
+    # (13 operands measured 5x slower at 2M lanes).
+    d_rows = jnp.concatenate(
+        [d_table_sorted[0:9], d_table_sorted[10:12]], axis=0
+    )  # (11, cap): d_u,d_v,d_ca,d_cb,d_cc,d_logro,d_r,d_g,d_b,mag,npix
+    d_orig = tiling.regroup_rows_by_slot(
+        d_rows, keys.orig_slot, cfg.key_cap
+    )  # (11, key_cap)
     per_point = segment_reduce(
         d_orig, keys.offsets, keys.counts, interpret=cfg.interpret
     )[: raw.uv.shape[0]]
@@ -222,7 +210,7 @@ def _blend_bwd_impl(raw, keys, table, out_tiles, d_rgb_tiles, tile, grid_hw,
         color=per_point[:, 6:9],
         depth=jnp.zeros_like(raw.depth),
     )
-    stats = (per_point[:, 10], per_point[:, 11], imggrad_tiles)
+    stats = (per_point[:, 9], per_point[:, 10], imggrad_tiles)
     return d_raw, stats
 
 
@@ -273,18 +261,33 @@ def compute_raw_attrs(
 
 def build_keys(raw: RawAttrs, radius, invalid_mask, camera: Camera,
                cfg: RasterizerConfig):
-    """Non-differentiable tiling stage (applies stop_gradient internally)."""
+    """Non-differentiable tiling stage (applies stop_gradient internally).
+
+    Returns (keys, sorted blend table, visible mask); the table's attribute
+    columns ride the key sort as payloads (see ops/tiling.py).
+    """
     sg = jax.lax.stop_gradient
     visible = frustum_cull_mask(
         sg(raw.uv), sg(raw.depth), invalid_mask, camera.width, camera.height,
         cfg.near_plane, cfg.far_plane, cfg.tile_size,
     )
-    keys = tiling.build_tile_keys(
+    # sanitize BEFORE the log so NaN features blend as fully transparent
+    # (log(1e-37) = -85), matching the pre-payload finalize_table guard
+    resc = jnp.where(jnp.isfinite(raw.conic[:, 3]), raw.conic[:, 3], 0.0)
+    op = jnp.where(jnp.isfinite(raw.opacity), raw.opacity, 0.0)
+    logro = jnp.log(jnp.maximum(resc * op, 1e-37))
+    attr_cols = jnp.stack(
+        [raw.uv[:, 0], raw.uv[:, 1], raw.conic[:, 0], raw.conic[:, 1],
+         raw.conic[:, 2], logro, raw.color[:, 0], raw.color[:, 1],
+         raw.color[:, 2], raw.depth], axis=0,
+    )
+    keys, table = tiling.build_tile_keys_and_table(
         sg(raw.uv), sg(raw.depth), sg(radius), visible,
         camera.width, camera.height, cfg.tile_size, cfg.key_cap,
-        cfg.depth_to_sort_key_scale, interpret=cfg.interpret,
+        cfg.depth_to_sort_key_scale, attr_cols=sg(attr_cols),
+        interpret=cfg.interpret,
     )
-    return keys, visible
+    return keys, table, visible
 
 
 def _assemble(out_tiles, camera: Camera, cfg: RasterizerConfig):
@@ -321,10 +324,10 @@ def rasterize(
         xyz, features, q_pointcloud_camera, t_pointcloud_camera, camera,
         sh_max_band, point_object_id,
     )
-    keys, _ = build_keys(raw, radius, invalid_mask, camera, cfg)
+    keys, table, _ = build_keys(raw, radius, invalid_mask, camera, cfg)
     tile = cfg.tile_size
     grid_hw = (camera.width // tile, camera.height // tile)
-    out_tiles = _blend_core(raw, keys, tile, grid_hw, cfg)
+    out_tiles = _blend_core(raw, table, keys, tile, grid_hw, cfg)
     return _assemble(out_tiles, camera, cfg)
 
 
@@ -356,10 +359,10 @@ def rasterize_fwd_ctx(
         )
 
     (raw, radius), attrs_vjp = jax.vjp(attrs_fn, xyz, features)
-    keys, visible = build_keys(raw, radius, invalid_mask, camera, cfg)
+    keys, table, visible = build_keys(raw, radius, invalid_mask, camera, cfg)
     tile = cfg.tile_size
     grid_hw = (camera.width // tile, camera.height // tile)
-    out_tiles, (_, _, table, _) = _blend_core_fwd(raw, keys, tile, grid_hw, cfg)
+    out_tiles, _ = _blend_core_fwd(raw, table, keys, tile, grid_hw, cfg)
     out = _assemble(out_tiles, camera, cfg)
     ctx = RenderContext(raw=raw, keys=keys, table=table, out_tiles=out_tiles,
                         visible=visible)

@@ -6,27 +6,42 @@ per-point rows. Replaces the reference backward's atomic adds into
 per-point buffers (GaussianPointCloudRasterisation.py:674-696).
 
 Why a kernel: XLA's scatter-add / segment_sum on TPU measured ~170-200 ms
-for 2M x 12 rows (see PLAN.md); a prefix-sum + boundary-gather alternative
-is fast but numerically unsafe (cancellation against the global prefix
-magnitude). This kernel streams the rows once per point-block (sequential
-grid, double-buffered WINDOW-sized DMAs) and resolves key->point ownership
-with a boolean membership matrix contracted on the MXU:
-  out_block (PB, 16) += member (PB, WINDOW) @ rows_window (16, WINDOW)^T.
+for 2M x 12 rows; a prefix-sum + boundary-gather alternative is fast but
+numerically unsafe (cancellation against the global prefix magnitude).
+This kernel streams the rows once per point-block (sequential grid) and
+resolves key->point ownership with a boolean membership matrix contracted
+on the MXU:
+  out_block (PB, R) += member (PB, WINDOW) @ rows_window (R, WINDOW)^T.
 
-Input rows are struct-of-arrays (16, cols) like the blend kernels' output;
-DMA windows are (16, WINDOW) at WINDOW-aligned lane offsets (the kernel
-aligns each block's window itself — membership masking makes the extra
-lanes harmless).
+The grid is ~N/PB tiny sequential steps, so DMA latency (not bandwidth or
+compute) is the cost driver: the kernel keeps a 3-slot DMA ring whose issue
+counter lives in SMEM scratch and persists across grid steps — each block
+issues the NEXT block's first window before it finishes, so every wait hits
+an already-in-flight copy.
+
+The caller needs NO padding and NO masking of the rows:
+- windows are clamped to the array end; the membership mask additionally
+  restricts each window to its unclamped [w*WINDOW, (w+1)*WINDOW) span so
+  clamp-induced overlaps never double count (segments end <= cols anyway);
+- lanes beyond the written prefix must be ZEROS, not garbage (0 * NaN
+  poisons the matmul) — the blend backward guarantees this by aliasing a
+  zero-filled buffer as its output.
+
+Input rows are struct-of-arrays (R, cols) like the blend kernels' output;
+DMA windows are (R, WINDOW) at WINDOW-aligned lane offsets (membership
+masking makes the extra lanes harmless).
 """
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-WINDOW = 512         # lanes per DMA/matmul step (4 chunks amortize latency)
-POINT_BLOCK = 256
+WINDOW = 1024        # lanes per DMA/matmul step
+POINT_BLOCK = 1024
 
 
 def _kernel(
@@ -34,100 +49,146 @@ def _kernel(
     block_lo_ref, block_hi_ref,
     # inputs
     offsets_ref,   # (1, PB, 2) block slice of [seg_lo, seg_hi], in VMEM
-    rows_hbm,      # (16, cols) per-key rows, HBM
+    rows_hbm,      # (R, cols) per-key rows, HBM
     # outputs
-    out_ref,       # (1, PB, 16) per-point sums
+    out_ref,       # (1, PB, R) per-point sums
     # scratch
-    row_ref, sem,
+    row_ref, first_ref, sem,
+    *, cols: int, win: int,
 ):
     b = pl.program_id(0)
-    lo = block_lo_ref[b]
-    hi = block_hi_ref[b]
-    lo_al = pl.multiple_of((lo // WINDOW) * WINDOW, WINDOW)
-    nwin = pl.cdiv(hi - lo_al, WINDOW)
+    nb = pl.num_programs(0)
+
+    def lo_aligned(blk):
+        return (block_lo_ref[blk] // win) * win
+
+    def win_base(blk, w):
+        # clamp so the DMA never reads past the array: segments end at
+        # <= total <= cols, so lanes the clamp drops belong to no segment
+        base = jnp.minimum(lo_aligned(blk) + w * win, cols - win)
+        return pl.multiple_of(base, win)
+
+    def nwin_of(blk):
+        # always >= 1: a degenerate block still processes one (fully
+        # membership-masked) window so the DMA ring stays uniform — every
+        # issued copy is waited exactly once
+        return jnp.maximum(
+            pl.cdiv(block_hi_ref[blk] - lo_aligned(blk), win), 1)
+
+    def issue(blk, w, slot):
+        pltpu.make_async_copy(
+            rows_hbm.at[:, pl.ds(win_base(blk, w), win)],
+            row_ref.at[slot], sem.at[slot],
+        ).start()
+
+    @pl.when(b == 0)
+    def _():
+        first_ref[0] = 0
+        issue(0, 0, 0)
+
+    first = first_ref[0]
+    nwin = nwin_of(b)
+    lo_al = lo_aligned(b)
 
     off_lo = offsets_ref[0, :, 0:1]   # (PB, 1) segment starts
     off_hi = offsets_ref[0, :, 1:2]   # (PB, 1) segment ends
 
-    def get_dma(slot, w):
-        return pltpu.make_async_copy(
-            rows_hbm.at[:, pl.ds(lo_al + w * WINDOW, WINDOW)],
-            row_ref.at[slot], sem.at[slot],
-        )
-
-    @pl.when(nwin > 0)
-    def _():
-        get_dma(0, 0).start()
-
-    out_ref[0] = jnp.zeros_like(out_ref[0])
-
     def body(w, acc):
+        # keep the ring full: issue the next window (this block's w+1, or
+        # the next block's first) before waiting on the current one
         @pl.when(w + 1 < nwin)
         def _():
-            get_dma((w + 1) % 2, w + 1).start()
+            issue(b, w + 1, (first + w + 1) % 3)
 
-        get_dma(w % 2, w).wait()
-        base = lo_al + w * WINDOW
-        gid = base + jax.lax.broadcasted_iota(
-            jnp.int32, (POINT_BLOCK, WINDOW), 1
-        )  # global key index, broadcast over points
-        member = jnp.logical_and(gid >= off_lo, gid < off_hi).astype(
-            jnp.float32
-        )
+        @pl.when(jnp.logical_and(w + 1 >= nwin, b + 1 < nb))
+        def _():
+            issue(b + 1, 0, (first + w + 1) % 3)
+
+        slot = (first + w) % 3
+        pltpu.make_async_copy(
+            rows_hbm.at[:, pl.ds(win_base(b, w), win)],
+            row_ref.at[slot], sem.at[slot],
+        ).wait()
+        gid = win_base(b, w) + jax.lax.broadcasted_iota(
+            jnp.int32, (offsets_ref.shape[1], win), 1
+        )  # ABSOLUTE key index per loaded lane, broadcast over points
+        member = (
+            jnp.logical_and(gid >= off_lo, gid < off_hi)
+            # exclusivity under end-of-array clamping: only this window's
+            # unclamped span counts (re-read lanes contribute elsewhere)
+            & jnp.logical_and(gid >= lo_al + w * win,
+                              gid < lo_al + (w + 1) * win)
+        ).astype(jnp.float32)
         return acc + jax.lax.dot_general(
-            member, row_ref[w % 2], (((1,), (1,)), ((), ())),
+            member, row_ref[slot], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
 
     out_ref[0] = jax.lax.fori_loop(
-        0, nwin, body, jnp.zeros((POINT_BLOCK, 16), jnp.float32)
+        0, nwin, body,
+        jnp.zeros((offsets_ref.shape[1], rows_hbm.shape[0]), jnp.float32),
     )
+
+    first_ref[0] = (first + nwin) % 3
 
 
 def segment_reduce(
-    rows: jnp.ndarray,      # (16, cols) per-key rows, original order (SoA)
+    rows: jnp.ndarray,      # (R, cols) per-key rows, original order (SoA)
     offsets: jnp.ndarray,   # (N,) exclusive cumsum of counts
     counts: jnp.ndarray,    # (N,)
     *, interpret: bool = False,
 ) -> jnp.ndarray:
-    """Per-point sums (N_padded_to_block, 16). ``rows`` must be padded with
-    at least WINDOW extra lanes beyond the largest segment end."""
+    """Per-point sums (N_padded_to_block, R).
+
+    ``rows`` lanes not covered by any segment must be zero (not NaN);
+    segment ends must be <= cols.
+    """
+    r_in = rows.shape[0]
+    r = ((r_in + 7) // 8) * 8  # Mosaic DMAs need 8-multiple sublane counts
+    if r != r_in:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((r - r_in, rows.shape[1]), rows.dtype)], axis=0)
+    cols = rows.shape[1]
+    win = min(WINDOW, cols)
+    assert cols % win == 0
     n = offsets.shape[0]
-    nb = (n + POINT_BLOCK - 1) // POINT_BLOCK
-    n_pad = nb * POINT_BLOCK
+    pb = min(POINT_BLOCK, max(((n + 127) // 128) * 128, 128))
+    nb = (n + pb - 1) // pb
+    n_pad = nb * pb
     seg_lo = jnp.pad(offsets, (0, n_pad - n))
     seg_hi = jnp.pad(offsets + counts, (0, n_pad - n))
-    block_lo = seg_lo[:: POINT_BLOCK].astype(jnp.int32)
+    block_lo = seg_lo[::pb].astype(jnp.int32)
     block_hi = jnp.maximum(
-        seg_hi.reshape(nb, POINT_BLOCK).max(axis=1), block_lo
+        seg_hi.reshape(nb, pb).max(axis=1), block_lo
     ).astype(jnp.int32)
-    off_pair = jnp.stack([seg_lo, seg_hi], axis=-1).reshape(nb, POINT_BLOCK, 2)
+    off_pair = jnp.stack([seg_lo, seg_hi], axis=-1).reshape(nb, pb, 2)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, POINT_BLOCK, 2), lambda b, *_: (b, 0, 0),
+            pl.BlockSpec((1, pb, 2), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
-            (1, POINT_BLOCK, 16), lambda b, *_: (b, 0, 0),
+            (1, pb, r), lambda b, *_: (b, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 16, WINDOW), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((3, r, win), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, cols=cols, win=win),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, POINT_BLOCK, 16), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb, pb, r), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(block_lo, block_hi, off_pair.astype(jnp.int32), rows)
-    return out.reshape(n_pad, 16)
+    return out.reshape(n_pad, r)[:, :r_in]

@@ -4,27 +4,26 @@ Behavioral reference: GaussianPointCloudRasterisation.py:81-236 (K2: overlap
 counts, K3: key expansion, torch cumsum :913 / radix sort :947, K4: tile
 ranges :175-193).
 
-TPU redesign, driven by measured v5e cost cliffs (scripts/tpu_breakdown.py;
-all numbers at 1M keys / 2M capacity):
-- single-column random gathers are catastrophic (~15 us/element — XLA
-  lowers them to serial dynamic slices); even sorted-index 1-col gathers
-  cost ~19 ms. Multi-column ROW gathers (~8 cols) take ~13 ms total.
-- `lax.sort` is nearly free by comparison (~6-7 ms for 2M keys) and extra
-  payload operands are free — so data should ride ALONG sorts, never be
-  gathered after them.
-- scatter-adds are ~20 ms for (N, 8) rows; cumsums ~3 ms.
+TPU redesign, driven by measured v5e cost cliffs (scripts/tpu_breakdown.py,
+/tmp-era probes folded into docs/tiling.md; numbers at 1-2M keys):
+- XLA scatter-adds (~19 ms for the diff-scatter expansion), row gathers
+  (~15 ms for 2M x 16 f32 rows, width-independent — latency-bound) and
+  searchsorted (both lowerings) are all cost cliffs;
+- `lax.sort` is cheap (~2.7 ms at 2M) and EXTRA PAYLOAD OPERANDS ARE FREE
+  (11 payloads measured within noise of 2) — data must ride sorts, never
+  be gathered after them.
 
-Consequently this module performs ZERO single-column gathers:
-1. per-point key expansion is a "diff-scatter + cumsum" broadcast: all
-   per-point columns (offset, bbox, depth key) are written once as row
-   DIFFS at each point's first key slot and integrated with one cumsum —
-   ties from zero-count points telescope to the owning point;
-2. tile id and depth quantizer fuse into ONE int32 sort key
-   (tid << depth_bits | dkey), sorted once with the point index and the
-   pre-sort slot riding as payloads;
-3. per-tile [start, end) ranges come from a Pallas bucket histogram +
-   tiny cumsum; keys stay in plain sorted order and the blend kernels
-   handle the unaligned ranges with lane masks.
+Consequently this module performs ZERO gathers and ZERO scatters:
+1. points are PARTITIONED (one stable N-length sort, ~2.4 ms) so key-owning
+   points form a contiguous prefix in original order;
+2. a Pallas kernel (ops/expand.py) broadcasts every per-point column to its
+   key slots with a one-hot membership matmul per key window — emitting the
+   fused int32 sort key (tid << depth_bits | depth_key) AND the full blend
+   attribute table in pre-sort key order;
+3. one `lax.sort` orders the keys with the 11 table columns riding as
+   payloads — the sorted blend table falls out of the sort directly;
+4. per-tile [start, end) ranges come from a Pallas bucket histogram +
+   tiny cumsum; the blend kernels handle unaligned ranges with lane masks.
 
 The key buffer has a static capacity `key_cap`; slots beyond the actual
 total get the sentinel tile id and sort to the end, outside every real
@@ -32,16 +31,19 @@ tile's range. If the true total exceeds key_cap, the surplus keys of the
 highest-index points are dropped (the returned `total` lets callers detect
 this and grow the capacity).
 
-Tiles are TILE x TILE pixels (default 32 on TPU: fewer keys to sort/gather
-at +35% pixel-pair work, the right trade on this hardware; the reference's
+Tiles are TILE x TILE pixels (default 32 on TPU: fewer keys to sort at
++35% pixel-pair work, the right trade on this hardware; the reference's
 CUDA block size dictated 16).
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from taichi_3d_gaussian_splatting_tpu.ops import expand as expand_mod
+from taichi_3d_gaussian_splatting_tpu.ops.histogram import bucket_histogram
 
 
 class TileBBox(NamedTuple):
@@ -81,8 +83,6 @@ def tile_bbox(
 CHUNK = 128  # must match blend_pallas.CHUNK (DMA window width)
 
 
-
-
 class TileKeys(NamedTuple):
     """Depth-sorted per-tile key lists in plain sorted order.
 
@@ -92,7 +92,10 @@ class TileKeys(NamedTuple):
     CHUNK-aligned windows around each range and mask the straddling lanes.
     """
 
-    point_idx: jnp.ndarray    # (key_cap,) int32 pool slot per key (pad: N)
+    point_idx: jnp.ndarray    # (key_cap,) int32 pool slot per key (pad: N);
+                              # None on the attrs path (nothing consumes it
+                              # and it would push the key sort over the
+                              # 12-operand cost cliff)
     orig_slot: jnp.ndarray    # (key_cap,) int32 pre-sort slot (permutation)
     real: jnp.ndarray         # (key_cap,) bool: actual key vs padding
     tile_of_slot: jnp.ndarray # (key_cap,) int32 owning tile of each key
@@ -103,43 +106,13 @@ class TileKeys(NamedTuple):
     total: jnp.ndarray        # () int32 true number of keys (may exceed cap)
 
 
-def _expand_columns(cols: jnp.ndarray, offsets: jnp.ndarray, cap: int):
-    """Broadcast per-point rows to key slots without gathers.
-
-    cols: (N, C) int32 per-point values; offsets: (N,) their first key slot
-    (non-decreasing). Returns (cap, C) where slot k holds the values of the
-    LAST point whose offset <= k — for slots inside a point's key range
-    that is exactly the owning point (zero-count points share an offset
-    with their successor and telescope away).
-
-    Mechanism: scatter-ADD consecutive row differences at the offsets, then
-    integrate with a cumsum. Sums of ties telescope, so the cumsum equals
-    the last tied row. The scatter runs COLUMN BY COLUMN with the update
-    count padded to a power of two: 1-col scatter-adds measured ~4x faster
-    than the (N, C) row form, which can also fall into a pathologically
-    serial lowering (50 s at N=428k) at some shapes.
-    """
-    n, c = cols.shape
-    n_pad = 1 << max((n - 1).bit_length(), 1)
-    diffs = jnp.diff(cols, axis=0, prepend=jnp.zeros((1, c), cols.dtype))
-    diffs = jnp.pad(diffs, ((0, n_pad - n), (0, 0)))
-    offsets_p = jnp.pad(offsets, (0, n_pad - n), constant_values=cap + 1)
-    out_cols = []
-    for j in range(c):
-        grid = jnp.zeros((cap,), cols.dtype).at[offsets_p].add(
-            diffs[:, j], mode="drop")
-        out_cols.append(jnp.cumsum(grid))
-    return jnp.stack(out_cols, axis=1)
-
-
 def _depth_bits(num_tiles: int) -> int:
-    """Bits available for the depth key under the fused int32 sort key
-    (capped so h + 128*dkey also fits an int32 in the packed expansion)."""
+    """Bits for the depth key beside the tile id in the fused int32 key."""
     tid_bits = max(int(num_tiles + 1).bit_length(), 1)
     return min(31 - tid_bits, 23)
 
 
-def build_tile_keys(
+def build_tile_keys_and_table(
     uv: jnp.ndarray,
     depth: jnp.ndarray,
     radius: jnp.ndarray,
@@ -149,19 +122,26 @@ def build_tile_keys(
     tile: int,
     key_cap: int,
     depth_to_sort_key_scale: float = 2.0**10,
+    attr_cols: Optional[jnp.ndarray] = None,
     interpret: bool = False,
-) -> TileKeys:
-    """Expand visible splats into per-tile keys and depth-sort within tiles.
+) -> Tuple[TileKeys, Optional[jnp.ndarray]]:
+    """Expand visible splats into depth-sorted per-tile keys, and (when
+    ``attr_cols`` is given) the sorted (16, key_cap) blend attribute table.
+
+    ``attr_cols``: (10, N) f32 [u, v, conic_a, conic_b, conic_c,
+    log(rescale*opacity), r, g, b, depth], pre-sanitized; they ride the key
+    sort as payloads and come out in blend_pallas table layout with splat
+    centers converted to tile-local coordinates.
 
     The depth key is int32(depth * scale), matching the reference's
     fixed-point encoding (GaussianPointCloudRasterisation.py:159-170),
-    clamped to the bits left beside the tile id in the fused sort key
-    (beyond-range depths saturate and fall back to stable slot order).
+    clamped to the bits left beside the tile id in the fused sort key.
     """
     n = uv.shape[0]
     tiles_u = width // tile
     num_tiles = tiles_u * (height // tile)
     dbits = _depth_bits(num_tiles)
+    sentinel = ((num_tiles + 1) << dbits) - 1
 
     bbox = tile_bbox(uv, radius, width, height, tile)
     counts = (bbox.max_u - bbox.min_u) * (bbox.max_v - bbox.min_v)
@@ -177,66 +157,101 @@ def build_tile_keys(
         (depth * depth_to_sort_key_scale).astype(jnp.int32),
         0, (1 << dbits) - 1,
     )
+    base_pt = bbox.min_u + tiles_u * bbox.min_v  # first covered tile id
     h_pt = bbox.max_v - bbox.min_v
-    ridx = jnp.arange(1, n + 1, dtype=jnp.int32)  # running index: diff == 1
-    # The expansion is LINEAR (diff -> scatter-add -> cumsum), so multiple
-    # small fields pack into one column as linear combinations and unpack
-    # after: base = min_u + tiles_u*min_v is exactly the tid base; hk packs
-    # the bbox height (7 bits: h <= tiles_v <= 128 at 4096 px) beside
-    # the depth key. 4 columns — the scatter-add cost cliff sits above 4.
-    base_pt = bbox.min_u + tiles_u * bbox.min_v
-    hk_pt = h_pt + 128 * dkey_pt
-    cols = jnp.stack([ridx, offsets, base_pt, hk_pt], axis=1)
-    E = _expand_columns(cols, offsets, key_cap)  # (key_cap, 4)
-    p = E[:, 0] - 1                  # owning point per key slot
-    offs_e = E[:, 1]
-    base_e = E[:, 2]
-    h_e = E[:, 3] % 128
-    dkey_e = E[:, 3] // 128
 
-    slot = jnp.arange(key_cap, dtype=jnp.int32)
-    valid = slot < total
+    has_attrs = attr_cols is not None
+    if attr_cols is None:
+        attr_cols = jnp.zeros((10, n), jnp.float32)
+    att = jnp.where(jnp.isfinite(attr_cols), attr_cols, 0.0)
 
-    # Decode local tile index j -> (du, dv): u-major like the reference
-    # (K3 :152-157: tile_u outer loop, tile_v inner).
-    j = slot - offs_e
-    hh = jnp.maximum(h_e, 1)
-    du = j // hh
-    dv = j - du * hh
-    tid = jnp.where(valid, base_e + du + dv * tiles_u, num_tiles)
-    fused = jnp.where(
-        valid,
-        (tid << dbits) | dkey_e,
-        jnp.int32(((num_tiles + 1) << dbits) - 1),
-    )
-
-    fused_s, pidx_s, orig_s = jax.lax.sort(
-        (fused, jnp.where(valid, p, n).astype(jnp.int32), slot),
+    # Partition: key-owning points to a contiguous prefix (stable => their
+    # offsets stay non-decreasing), every column riding as payloads.
+    flag = jnp.where(counts > 0, 0, 1).astype(jnp.int32)
+    parted = jax.lax.sort(
+        (flag, offsets, counts, dkey_pt, base_pt, h_pt,
+         jnp.arange(n, dtype=jnp.int32)) + tuple(att[i] for i in range(10)),
         num_keys=1, is_stable=True,
     )
+    off_s, cnt_s = parted[1], parted[2]
+
+    wk = min(expand_mod.WKEYS, key_cap)
+    nw = key_cap // wk
+    al = expand_mod.ALIGN
+    n_pad = max(((n + al - 1) // al) * al, al)
+    cand_cap = min(expand_mod.CAND_CAP, n_pad)
+
+    # candidate start per key window: #points whose first key precedes the
+    # window, minus one carry (points are intervals in key-slot space)
+    wid = jnp.where(cnt_s > 0, off_s // wk, nw)
+    hist = bucket_histogram(wid, nw, interpret=interpret)
+    cum = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.cumsum(hist.astype(jnp.float32)).astype(jnp.int32),
+    ])
+    lo = jnp.clip(cum[:-1] - 1, 0, n_pad - cand_cap)
+    lo = (lo // al) * al
+
+    cand_cols = [off_s, cnt_s] + [parted[i] for i in range(3, 7)] \
+        + [parted[i] for i in range(7, 17)]
+    cand = jnp.stack(
+        [c.astype(jnp.float32) for c in cand_cols], axis=0
+    )  # (16, n) SoA: off, cnt, dkey, base, h, pidx, attrs...
+    cand = jnp.pad(cand, ((0, 0), (0, n_pad - n)))
+    # The kernel locates each sub-window's candidate run by counting lanes
+    # with off < window start, so non-key-owning lanes (the partitioned
+    # zero-count suffix and the n_pad padding) must sit ABOVE every real
+    # offset: give them a huge off (their cnt=0 already makes membership
+    # empty).
+    owning = jnp.pad(cnt_s > 0, (0, n_pad - n), constant_values=False)
+    cand = cand.at[0, :].set(
+        jnp.where(owning, cand[0, :], expand_mod.PAD_OFF))
+
+    lim = jnp.stack([
+        jnp.minimum(total, key_cap).astype(jnp.int32),
+        jnp.int32(sentinel),
+    ])
+    fused, tbl = expand_mod.expand_keys(
+        cand, lo, lim, key_cap=key_cap, tiles_u=tiles_u, tile=tile,
+        dbits=dbits, num_tiles=num_tiles, interpret=interpret,
+    )
+
+    # ONE sort: every table column rides as a payload. CRITICAL operand
+    # budget: XLA's TPU variadic sort falls off a cliff ABOVE 12 operands
+    # (12 ops = 2.7 ms, 13 ops = 14.6 ms, 17 ops = 20.8 ms at 2M keys,
+    # jax.profiler-attributed) — so the per-key point index only rides in
+    # the no-attrs (test/tool) path, where the budget allows it; nothing in
+    # the production pipeline consumes it (the backward maps keys to points
+    # through offsets/counts instead).
+    slot = jnp.arange(key_cap, dtype=jnp.int32)
+    real = slot < jnp.minimum(total, key_cap)
+    if has_attrs:
+        operands = (fused, slot) + tuple(tbl[i] for i in range(10))
+        sorted_ops = jax.lax.sort(operands, num_keys=1, is_stable=True)
+        fused_s, orig_s = sorted_ops[0], sorted_ops[1]
+        pidx_s = None
+        zeros6 = jnp.zeros((6, key_cap), jnp.float32)
+        table = jnp.concatenate(
+            [jnp.stack(sorted_ops[2:12], axis=0), zeros6], axis=0
+        )  # (16, key_cap): rows 0..9 attrs, 10..15 zero
+    else:
+        sorted_ops = jax.lax.sort((fused, slot, tbl[10]), num_keys=1,
+                                  is_stable=True)
+        fused_s, orig_s, pidx_f = sorted_ops
+        pidx_s = jnp.where(real, pidx_f.astype(jnp.int32), n)
+        table = None
     tid_s = jax.lax.shift_right_logical(fused_s, dbits)
 
-    # Per-tile ranges from a Pallas bucket histogram over the (unsorted)
-    # tile ids + tiny cumsum — equivalent to searchsorted over the sorted
-    # ids but ~10x cheaper (searchsorted's sort lowering costs ~16 ms at 2M
-    # keys; the binary-search lowering ~14 us per query element).
-    from taichi_3d_gaussian_splatting_tpu.ops.histogram import bucket_histogram
-
-    counts_t = bucket_histogram(tid, num_tiles, interpret=interpret)
+    counts_t = bucket_histogram(tid_s, num_tiles, interpret=interpret)
     bounds = jnp.concatenate([
         jnp.zeros((1,), jnp.int32),
         jnp.cumsum(counts_t.astype(jnp.float32)).astype(jnp.int32),
     ])
 
-    # Keys stay in PLAIN sorted order: the blend kernels handle unaligned
-    # [start, end) ranges with lane masks (+ a read-modify-write of the one
-    # boundary window shared between consecutive tiles in the backward), so
-    # no chunk-aligned re-layout — and none of its expansion/gather cost —
-    # is needed.
-    return TileKeys(
+    keys = TileKeys(
         point_idx=pidx_s,
         orig_slot=orig_s,
-        real=valid,                 # sorted: exactly the first `total` slots
+        real=real,
         tile_of_slot=jnp.minimum(tid_s, num_tiles - 1),
         tile_start=bounds[:-1],
         tile_end=bounds[1:],
@@ -244,6 +259,27 @@ def build_tile_keys(
         counts=counts,
         total=total,
     )
+    return keys, table
+
+
+def build_tile_keys(
+    uv: jnp.ndarray,
+    depth: jnp.ndarray,
+    radius: jnp.ndarray,
+    visible: jnp.ndarray,
+    width: int,
+    height: int,
+    tile: int,
+    key_cap: int,
+    depth_to_sort_key_scale: float = 2.0**10,
+    interpret: bool = False,
+) -> TileKeys:
+    """Key structure only (no attribute table) — tests/tools entry point."""
+    keys, _ = build_tile_keys_and_table(
+        uv, depth, radius, visible, width, height, tile, key_cap,
+        depth_to_sort_key_scale, attr_cols=None, interpret=interpret,
+    )
+    return keys
 
 
 def regroup_rows_by_slot(rows: jnp.ndarray, orig_slot: jnp.ndarray,
