@@ -81,7 +81,7 @@ def main():
 
     raw, radius = jax.jit(
         lambda x, f: compute_raw_attrs(x, f, q, t, camera))(xyz, feats)
-    keys, _ = jax.jit(
+    keys, _, _ = jax.jit(
         lambda r, rad: build_keys(r, rad, invalid, camera, probe_cfg)
     )(raw, radius)
     cap = fit_key_cap(int(keys.total))

@@ -136,6 +136,13 @@ def _lane_scan(x, op_mul: bool):
     return x
 
 
+def _tri_incl(n: int):
+    """(n, n) inclusive lower-triangular ones: (x @ tri)[:, k] = cumsum."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (r <= c).astype(jnp.float32)
+
+
 def _chunk_state(tab, xy, lane_lo, lane_hi, t_run):
     """Shared fwd/bwd per-chunk recompute: alphas, masks, transmittances.
 
@@ -161,7 +168,18 @@ def _chunk_state(tab, xy, lane_lo, lane_hi, t_run):
     )
     a = jnp.where(skip, 0.0, jnp.minimum(alpha_u, ALPHA_CLAMP))
     om = 1.0 - a
-    p_incl = t_run * _lane_scan(om, op_mul=True)  # (PX, CHUNK)
+    # cumulative transmittance in LOG space: the per-lane cumprod becomes
+    # one MXU triangular matmul (the roll-based product scan was ~60% of
+    # the kernel's VPU ops). Skipped lanes have om=1 -> log 0, an exact
+    # identity; om >= 0.01 (the 0.99 alpha clamp) keeps log well away from
+    # the log(1-x) cancellation regime. f32 HIGHEST keeps the rel error
+    # ~1e-6 per 128-lane chunk, far inside the 1e-4 oracle gates.
+    log_om = jnp.log(om)
+    s_incl = jax.lax.dot_general(
+        log_om, _tri_incl(CHUNK), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=HIGHEST,
+    )
+    p_incl = t_run * jnp.exp(s_incl)  # (PX, CHUNK)
     t_excl = p_incl / om
     include = jnp.logical_and(jnp.logical_not(skip), p_incl >= T_SATURATION_EPS)
     w = jnp.where(include, a * t_excl, 0.0)
@@ -415,7 +433,10 @@ def _backward_kernel(
             gc = (g[:, 0:1] * tab[6:7, :] + g[:, 1:2] * tab[7:8, :]
                   + g[:, 2:3] * tab[8:9, :] + g[:, 3:4] * tab[9:10, :])
             gcw = gc * w
-            ga = ga_prev + _lane_scan(gcw, op_mul=False)  # inclusive prefix
+            ga = ga_prev + jax.lax.dot_general(  # inclusive prefix on MXU
+                gcw, _tri_incl(CHUNK), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=HIGHEST,
+            )
             s_after = g_cfin - ga
             dalpha = jnp.where(include, gc * t_excl - s_after / om, 0.0)
             de = dalpha * alpha_u  # dL/d_exponent, (PX, CHUNK)

@@ -121,11 +121,23 @@ def _expand_kernel(
                 + jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
                 .astype(jnp.float32))  # (sub, 1) key slot ids, f32 exact
         member = jnp.logical_and(off <= gidc, gidc < off + cnt).astype(
-            jnp.float32)  # (sub, csub)
-        E = jax.lax.dot_general(
-            cs, member, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=HIGHEST,
-        )  # (16, sub) — exact: one nonzero per key column
+            jnp.bfloat16)  # (sub, csub); 0/1 is exact in bf16
+        # Exact expansion (one nonzero per key column) in 3 native MXU
+        # passes instead of HIGHEST's 6+: split the f32 candidate values
+        # into three bf16 terms (Dekker splitting covers all 24 mantissa
+        # bits) and accumulate in f32.
+        hi = cs.astype(jnp.bfloat16)
+        r1 = cs - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        E = None
+        for part in (hi, mid, lo):
+            t = jax.lax.dot_general(
+                part, member, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            E = t if E is None else E + t
+        # (16, sub)
 
         gid = (jnp.int32(sub_base)
                + jax.lax.broadcasted_iota(jnp.int32, (1, sub), 1))

@@ -256,7 +256,7 @@ def compute_raw_attrs(
         uv=attrs.uv, cov2d=attrs.cov2d, conic=attrs.conic,
         opacity=attrs.opacity, color=attrs.color, depth=attrs.xyz_cam[:, 2],
     )
-    return raw, attrs.radius
+    return raw, attrs.radius_xy
 
 
 def build_keys(raw: RawAttrs, radius, invalid_mask, camera: Camera,
@@ -388,7 +388,8 @@ def rasterize_bwd(
         ctx.raw, ctx.keys, ctx.table, ctx.out_tiles, d_rgb_tiles, tile,
         (tiles_x, tiles_y), cfg,
     )
-    d_xyz, d_features = attrs_vjp((d_raw, jnp.zeros_like(ctx.raw.depth)))
+    d_xyz, d_features = attrs_vjp(
+        (d_raw, jnp.zeros((ctx.raw.depth.shape[0], 2), jnp.float32)))
     stats = GradStats(
         grad_uv=d_raw.uv,
         magnitude_grad_viewspace=mag,

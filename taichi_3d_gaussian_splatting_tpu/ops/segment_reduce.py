@@ -40,6 +40,27 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+
+def dot_bf16x3(exact_bf16_lhs, rows_f32, dims):
+    """f32-exact matmul in 3 native MXU passes instead of HIGHEST's 6+.
+
+    Requires the lhs to be EXACTLY representable in bf16 (0/1 membership
+    matrices here). The f32 rhs splits into three bf16 terms whose sum
+    reconstructs every f32 exactly (Dekker splitting: 3 x 8 mantissa bits
+    cover the 24-bit significand), each accumulated in f32 on the MXU.
+    """
+    lhs = exact_bf16_lhs.astype(jnp.bfloat16)
+    hi = rows_f32.astype(jnp.bfloat16)
+    r1 = rows_f32 - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = None
+    for part in (hi, mid, lo):
+        t = jax.lax.dot_general(lhs, part, dims,
+                                preferred_element_type=jnp.float32)
+        out = t if out is None else out + t
+    return out
+
 WINDOW = 1024        # lanes per DMA/matmul step
 POINT_BLOCK = 1024
 
@@ -118,12 +139,9 @@ def _kernel(
             # unclamped span counts (re-read lanes contribute elsewhere)
             & jnp.logical_and(gid >= lo_al + w * win,
                               gid < lo_al + (w + 1) * win)
-        ).astype(jnp.float32)
-        return acc + jax.lax.dot_general(
-            member, row_ref[slot], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
         )
+        return acc + dot_bf16x3(
+            member, row_ref[slot], (((1,), (1,)), ((), ())))
 
     out_ref[0] = jax.lax.fori_loop(
         0, nwin, body,

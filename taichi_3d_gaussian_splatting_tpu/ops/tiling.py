@@ -61,15 +61,22 @@ def tile_bbox(
     """Conservative tile bounding box of a splat.
 
     Reference: GaussianPointCloudRasterisation.py:81-103
-    (get_bounding_box_by_point_and_radii), with TILE_WIDTH generalized.
+    (get_bounding_box_by_point_and_radii), with TILE_WIDTH generalized and
+    ``radius`` accepting per-axis (N, 2) lossless cull radii
+    (attributes.PointAttributes.radius_xy) as well as the reference's
+    scalar (N,) form.
     """
     tiles_u = width // tile
     tiles_v = height // tile
-    r = jnp.maximum(radius, 1.0)
-    min_u_px = jnp.maximum(0.0, uv[:, 0] - r)
-    max_u_px = uv[:, 0] + r
-    min_v_px = jnp.maximum(0.0, uv[:, 1] - r)
-    max_v_px = uv[:, 1] + r
+    if radius.ndim == 2:
+        rx = jnp.maximum(radius[:, 0], 1.0)
+        ry = jnp.maximum(radius[:, 1], 1.0)
+    else:
+        rx = ry = jnp.maximum(radius, 1.0)
+    min_u_px = jnp.maximum(0.0, uv[:, 0] - rx)
+    max_u_px = uv[:, 0] + rx
+    min_v_px = jnp.maximum(0.0, uv[:, 1] - ry)
+    max_v_px = uv[:, 1] + ry
 
     min_tu = jnp.minimum(jnp.floor_divide(min_u_px, tile).astype(jnp.int32), tiles_u)
     max_tu = jnp.floor_divide(max_u_px, tile).astype(jnp.int32) + 1
