@@ -17,11 +17,12 @@ phase 1). The design is TPU-native rather than a translation:
   is 6%-utilized on the MXU AND the default bf16 MXU input rounding of the
   expanded-quadratic coefficients produced exponent errors of O(100) at
   1000-px image widths — VPU f32 is both faster and exact.)
-- The per-pixel sequential transmittance recurrence is re-expressed as a
-  cumulative product along the 128-lane key axis (log2 roll-multiply
-  steps) with a per-pixel carry between chunks — semantics identical to
-  the reference's front-to-back loop, including the 1/255 skip, the 0.99
-  clamp and the sticky T < 1e-4 saturation.
+- The per-pixel sequential transmittance recurrence is re-expressed in
+  LOG space as a prefix sum of log(1 - a) along the 128-lane key axis —
+  one MXU triangular matmul per chunk (a roll-based product scan was ~60%
+  of the kernel's VPU ops) — with a per-pixel carry between chunks;
+  semantics identical to the reference's front-to-back loop, including
+  the 1/255 skip, the 0.99 clamp and the sticky T < 1e-4 saturation.
 - Color/depth accumulation is one MXU matmul acc += w @ [r,g,b,d]^T with
   precision=HIGHEST (K=128 f32; every MXU op in these kernels pins HIGHEST
   — bf16 rounding fails the 1e-4 oracle gates).
@@ -66,42 +67,6 @@ T_SATURATION_EPS = 1e-4
 CHUNK = 128  # key-chunk = lane width; tiling.CHUNK must match
 
 
-def pack_raw_columns(uv, conic, opacity, color, depth):
-    """Stack per-point raw attributes into one (N, 16) array so the sorted
-    key order can be realized with a single XLA row gather."""
-    zero = jnp.zeros_like(opacity)
-    return jnp.stack(
-        [uv[:, 0], uv[:, 1], conic[:, 0], conic[:, 1], conic[:, 2],
-         conic[:, 3], opacity, color[:, 0], color[:, 1], color[:, 2],
-         depth, zero, zero, zero, zero, zero],
-        axis=-1,
-    )
-
-
-def finalize_table(gathered, tile_of_key, tiles_x: int, tile: int):
-    """(cap_pad, 16) gathered raw rows -> (16, cap_pad) SoA kernel table.
-
-    Splat centers are stored in TILE-LOCAL coordinates (global uv minus the
-    owning tile's pixel origin) so all in-kernel pixel offsets stay small
-    and f32-exact regardless of image width.
-    """
-    g = jnp.where(jnp.isfinite(gathered), gathered, 0.0)
-    u_g, v_g = g[:, 0], g[:, 1]
-    a, b, c = g[:, 2], g[:, 3], g[:, 4]
-    resc, op = g[:, 5], g[:, 6]
-    cx = ((tile_of_key % tiles_x) * tile).astype(jnp.float32)
-    cy = ((tile_of_key // tiles_x) * tile).astype(jnp.float32)
-    u = u_g - cx
-    v = v_g - cy
-    logro = jnp.log(jnp.maximum(resc * op, 1e-37))
-    zero = jnp.zeros_like(u)
-    return jnp.stack(
-        [u, v, a, b, c, logro, g[:, 7], g[:, 8], g[:, 9], g[:, 10],
-         zero, zero, zero, zero, zero, zero],
-        axis=0,
-    )
-
-
 HIGHEST = jax.lax.Precision.HIGHEST
 
 
@@ -122,18 +87,6 @@ def _pixel_monomials(tile: int):
     one = jnp.ones_like(x)
     zero = jnp.zeros_like(x)
     return jnp.concatenate([x * x, y * y, x * y, x, y, one, zero, zero], axis=1)
-
-
-def _lane_scan(x, op_mul: bool):
-    """Inclusive cumulative product/sum along the last (lane, 128) axis."""
-    n = x.shape[-1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, len(x.shape) - 1)
-    fill = 1.0 if op_mul else 0.0
-    for s in [1 << k for k in range(int(math.log2(n)))]:
-        rolled = jnp.where(lane >= s, pltpu.roll(x, s, axis=len(x.shape) - 1),
-                           fill)
-        x = x * rolled if op_mul else x + rolled
-    return x
 
 
 def _tri_incl(n: int):
