@@ -51,6 +51,7 @@ class RendererConfig:
     camera_intrinsics: Optional[np.ndarray] = None
     rgb_only: bool = True
     data_parallel: bool = False
+    tile_parallel: bool = False  # shard ONE image's tile rows across chips
 
     def __post_init__(self):
         if self.camera_intrinsics is None:
@@ -109,11 +110,47 @@ class GaussianPointRenderer:
         if self.config.data_parallel and len(jax.devices()) > 1:
             yield from self._frames_sharded(qs, ts)
             return
+        if self.config.tile_parallel and len(jax.devices()) > 1:
+            yield from self._frames_band_sharded(qs, ts)
+            return
         for i in range(self.poses.shape[0]):
             rgb = self._render_one(qs[i], ts[i])
             yield i, np.asarray(
                 jnp.round(rgb * 255).astype(jnp.uint8)
             )
+
+    def _frames_band_sharded(self, qs, ts):
+        """Each frame's tile rows sharded across chips (large single images;
+        parallel/tile_parallel.py)."""
+        from taichi_3d_gaussian_splatting_tpu.parallel.tile_parallel import (
+            make_band_mesh, rasterize_band_sharded,
+        )
+
+        # at most one 32-px tile row per device; small images fall back to
+        # fewer devices (or the plain loop for a single band)
+        n_dev = min(len(jax.devices()), self.height // TILE)
+        if n_dev < 2:
+            for i in range(self.poses.shape[0]):
+                rgb = self._render_one(qs[i], ts[i])
+                yield i, np.asarray(jnp.round(rgb * 255).astype(jnp.uint8))
+            return
+        band = TILE * n_dev
+        h = self.height - self.height % band
+        camera = Camera(K=self.K, width=self.width, height=h)
+        mesh = make_band_mesh(n_dev)
+        scene = self.scene
+
+        @jax.jit
+        def render_one(q, t):
+            out = rasterize_band_sharded(
+                scene.xyz, scene.features, scene.invalid, q, t, camera,
+                self.rcfg, mesh,
+            )
+            return jnp.clip(out.rgb, 0.0, 1.0)
+
+        for i in range(self.poses.shape[0]):
+            rgb = render_one(qs[i], ts[i])
+            yield i, np.asarray(jnp.round(rgb * 255).astype(jnp.uint8))
 
     def _frames_sharded(self, qs, ts):
         """Pose-sharded rendering over the device mesh (per-device vmap-free
@@ -201,6 +238,9 @@ def main():
     parser.add_argument("--gt_prefix", type=str, default="")
     parser.add_argument("--portrait_mode", action="store_true", default=False)
     parser.add_argument("--data_parallel", action="store_true", default=False)
+    parser.add_argument("--tile_parallel", action="store_true", default=False,
+                        help="shard each image's tile rows across devices "
+                        "(large single frames) instead of sharding poses")
     args = parser.parse_args()
 
     output_prefix = Path(args.output_prefix)
@@ -211,7 +251,8 @@ def main():
         os.makedirs(gt_prefix, exist_ok=True)
 
     config = RendererConfig(parquet_paths=list(args.parquet_path),
-                            data_parallel=args.data_parallel)
+                            data_parallel=args.data_parallel,
+                            tile_parallel=args.tile_parallel)
     if args.poses.endswith(".pt"):
         poses = load_poses_pt(args.poses)
         if args.portrait_mode:

@@ -132,14 +132,19 @@ def frustum_cull_mask(
     far: float,
     tile_size: int,
     boundary_tiles: int = 3,
+    boundary_tiles_v: int | None = None,
 ) -> jnp.ndarray:
     """Visibility mask (the reference's K1, GaussianPointCloudRasterisation.py:31-78).
 
     Keeps points with near < z < far whose projected center lies within the
     image padded by ``boundary_tiles`` tiles (BOUNDARY_TILES=3, :26).
+    ``boundary_tiles_v`` overrides the vertical pad — band-sharded rendering
+    (parallel/tile_parallel.py) widens it so splats centered in other bands
+    still reach this band's pixels.
     """
     pad_u = tile_size * boundary_tiles
-    pad_v = tile_size * boundary_tiles
+    pad_v = tile_size * (boundary_tiles if boundary_tiles_v is None
+                         else boundary_tiles_v)
     in_depth = (depth > near) & (depth < far)
     in_u = (uv[:, 0] >= -pad_u) & (uv[:, 0] < width + pad_u)
     in_v = (uv[:, 1] >= -pad_v) & (uv[:, 1] < height + pad_v)

@@ -3,10 +3,12 @@
 Behavioral reference: GaussianPointCloudRasterisation.py:775-1204 (the
 torch.autograd.Function orchestrating K1..K7). TPU-native layout:
 
-  attrs (pure jnp, autodiff)  ->  tile keys (non-diff, sort-based)
-      -> pack + gather sorted table -> Pallas blend fwd  -> image
-  backward: Pallas blend bwd -> per-key grad rows -> inverse-permute gather
-      -> Pallas ragged segment-reduce -> per-point raw-attr grads
+  attrs (pure jnp, autodiff)  ->  tile keys + sorted blend table (non-diff:
+      Pallas one-hot expansion kernel, attributes riding the key sort as
+      payloads)  ->  Pallas blend fwd  ->  image
+  backward: Pallas blend bwd -> per-key grad rows -> payload-riding
+      regroup sort to expansion order -> Pallas ragged segment-reduce
+      -> per-point raw-attr grads
       -> (outside, via jax.vjp of the attrs fn) -> param grads
 
 The custom_vjp boundary is `_blend_core`, whose differentiable input is the
@@ -66,6 +68,8 @@ class RasterizerConfig:
     key_cap: int = 2 ** 21       # static capacity of the tile-key buffer
     extra_info: bool = True      # densification stats in backward
     interpret: bool = False      # run Pallas kernels in interpreter mode
+    cull_pad_v_tiles: Optional[int] = None  # vertical cull pad override
+                                 # (tiles); band-sharded rendering widens it
 
 
 class Camera(NamedTuple):
@@ -270,6 +274,7 @@ def build_keys(raw: RawAttrs, radius, invalid_mask, camera: Camera,
     visible = frustum_cull_mask(
         sg(raw.uv), sg(raw.depth), invalid_mask, camera.width, camera.height,
         cfg.near_plane, cfg.far_plane, cfg.tile_size,
+        boundary_tiles_v=cfg.cull_pad_v_tiles,
     )
     # sanitize BEFORE the log so NaN features blend as fully transparent
     # (log(1e-37) = -85), matching the pre-payload finalize_table guard

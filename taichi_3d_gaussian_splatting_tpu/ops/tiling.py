@@ -84,6 +84,15 @@ def tile_bbox(
     min_tv = jnp.minimum(jnp.floor_divide(min_v_px, tile).astype(jnp.int32), tiles_v)
     max_tv = jnp.floor_divide(max_v_px, tile).astype(jnp.int32) + 1
     max_tv = jnp.minimum(jnp.maximum(max_tv, min_tv + 1), tiles_v)
+    # Splats whose cull extent misses the image entirely get an EMPTY box
+    # (the reference's clamping would give them one spurious edge tile;
+    # their alpha at any in-image pixel is below the 1/255 skip, so this is
+    # output-lossless). Matters for band-sharded rendering, where many
+    # points sit far outside the band.
+    empty = ((max_u_px <= 0.0) | (min_u_px >= width)
+             | (max_v_px <= 0.0) | (min_v_px >= height))
+    max_tu = jnp.where(empty, min_tu, max_tu)
+    max_tv = jnp.where(empty, min_tv, max_tv)
     return TileBBox(min_tu, max_tu, min_tv, max_tv)
 
 

@@ -187,3 +187,52 @@ class TestTrainerDP:
         trainer = GaussianPointCloudTrainer(config)
         state = trainer.train()
         assert np.isfinite(np.asarray(state.scene.features)).all()
+
+
+class TestBandSharded:
+    def test_matches_single_device_render(self):
+        """Band-sharded output must equal the single-device render.
+
+        4 CPU devices x 32-px tile rows => a 128-px-tall image; scenes
+        include splats spilling across band boundaries (large radii).
+        """
+        from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import (
+            Camera, rasterize,
+        )
+        from taichi_3d_gaussian_splatting_tpu.parallel.tile_parallel import (
+            make_band_mesh, rasterize_band_sharded,
+        )
+
+        rng = np.random.default_rng(3)
+        n = 160
+        xyz = np.stack(
+            [rng.uniform(-1.2, 1.2, n), rng.uniform(-2.2, 2.2, n),
+             rng.uniform(2.0, 6.0, n)], axis=-1).astype(np.float32)
+        feats = np.zeros((n, 56), np.float32)
+        quat = rng.normal(size=(n, 4)).astype(np.float32)
+        feats[:, 0:4] = quat / np.linalg.norm(quat, axis=1, keepdims=True)
+        feats[:, 4:7] = rng.uniform(-3.0, -0.5, (n, 3))  # some LARGE splats
+        feats[:, 7] = rng.uniform(-1.0, 2.0, n)
+        feats[:, 8:] = rng.normal(size=(n, 48)) * 0.3
+        xyz, feats = jnp.asarray(xyz), jnp.asarray(feats)
+        invalid = jnp.zeros((n,), bool)
+        w, h = 32, 128
+        cam = Camera(
+            K=jnp.asarray([[40.0, 0, w / 2], [0, 40.0, h / 2], [0, 0, 1]],
+                          jnp.float32), width=w, height=h)
+        cfg = RasterizerConfig(tile_size=32, key_cap=2048, interpret=True)
+        q = jnp.asarray(Q_ID, jnp.float32)
+        t = jnp.zeros(3, jnp.float32)
+
+        ref = rasterize(xyz, feats, invalid, q, t, cam, cfg)
+        mesh = make_band_mesh(4)
+        out = rasterize_band_sharded(
+            xyz, feats, invalid, q, t, cam, cfg, mesh)
+        np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(ref.rgb),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out.alpha),
+                                   np.asarray(ref.alpha), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out.depth),
+                                   np.asarray(ref.depth), atol=1e-4)
+        assert np.abs(np.asarray(out.count).astype(np.int64)
+                      - np.asarray(ref.count).astype(np.int64)).max() <= 1

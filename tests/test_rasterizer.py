@@ -72,6 +72,10 @@ class TestTiling:
             xtu = min(max(int(max_u // tile) + 1, mtu + 1), w // tile)
             mtv = min(int(min_v // tile), h // tile)
             xtv = min(max(int(max_v // tile) + 1, mtv + 1), h // tile)
+            # splats whose extent misses the image get an EMPTY box
+            # (output-lossless; the reference would clamp to one edge tile)
+            if max_u <= 0 or min_u >= w or max_v <= 0 or min_v >= h:
+                xtu, xtv = mtu, mtv
             assert bbox.min_u[i] == mtu and bbox.max_u[i] == xtu
             assert bbox.min_v[i] == mtv and bbox.max_v[i] == xtv
 
