@@ -85,8 +85,10 @@ def main():
         lambda r, rad: build_keys(r, rad, invalid, camera, probe_cfg)
     )(raw, radius)
     cap = fit_key_cap(int(keys.total))
+    # rgb_only matches the reference benchmark protocol
+    # (benchmark/inference_benchmark.py uses the rgb-only rasterizer)
     cfg = RasterizerConfig(tile_size=32, key_cap=cap, interpret=interpret,
-                           extra_info=False)
+                           extra_info=False, rgb_only=True)
 
     @jax.jit
     def timed_chain(x, f):

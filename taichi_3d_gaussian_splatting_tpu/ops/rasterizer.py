@@ -290,7 +290,7 @@ def build_keys(raw: RawAttrs, radius, invalid_mask, camera: Camera,
         sg(raw.uv), sg(raw.depth), sg(radius), visible,
         camera.width, camera.height, cfg.tile_size, cfg.key_cap,
         cfg.depth_to_sort_key_scale, attr_cols=sg(attr_cols),
-        interpret=cfg.interpret,
+        rgb_only=cfg.rgb_only, interpret=cfg.interpret,
     )
     return keys, table, visible
 

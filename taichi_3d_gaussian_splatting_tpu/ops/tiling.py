@@ -139,6 +139,7 @@ def build_tile_keys_and_table(
     key_cap: int,
     depth_to_sort_key_scale: float = 2.0**10,
     attr_cols: Optional[jnp.ndarray] = None,
+    rgb_only: bool = False,
     interpret: bool = False,
 ) -> Tuple[TileKeys, Optional[jnp.ndarray]]:
     """Expand visible splats into depth-sorted per-tile keys, and (when
@@ -242,14 +243,18 @@ def build_tile_keys_and_table(
     slot = jnp.arange(key_cap, dtype=jnp.int32)
     real = slot < jnp.minimum(total, key_cap)
     if has_attrs:
-        operands = (fused, slot) + tuple(tbl[i] for i in range(10))
+        # rgb_only (the reference K6 template flag, :342): the depth column
+        # only feeds the depth image — drop it from the sort (sort cost is
+        # ~linear in operand bytes) and zero-fill its table row.
+        n_attr = 9 if rgb_only else 10
+        operands = (fused, slot) + tuple(tbl[i] for i in range(n_attr))
         sorted_ops = jax.lax.sort(operands, num_keys=1, is_stable=True)
         fused_s, orig_s = sorted_ops[0], sorted_ops[1]
         pidx_s = None
-        zeros6 = jnp.zeros((6, key_cap), jnp.float32)
+        zeros = jnp.zeros((16 - n_attr, key_cap), jnp.float32)
         table = jnp.concatenate(
-            [jnp.stack(sorted_ops[2:12], axis=0), zeros6], axis=0
-        )  # (16, key_cap): rows 0..9 attrs, 10..15 zero
+            [jnp.stack(sorted_ops[2:2 + n_attr], axis=0), zeros], axis=0
+        )  # (16, key_cap): rows 0..n_attr-1 attrs, rest zero
     else:
         sorted_ops = jax.lax.sort((fused, slot, tbl[10]), num_keys=1,
                                   is_stable=True)

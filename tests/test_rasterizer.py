@@ -225,3 +225,20 @@ class TestGradients:
         assert np.asarray(stats.num_affected_pixels).max() > 0
         assert np.asarray(stats.magnitude_grad_viewspace).max() > 0
         assert stats.magnitude_grad_viewspace_on_image.shape == (64, 64, 2)
+
+
+class TestRgbOnly:
+    def test_rgb_matches_full_path(self):
+        """rgb_only (reference K6 template flag) must not change the rgb."""
+        import dataclasses
+
+        xyz, feats, invalid = make_scene(150, seed=2)
+        cam = make_camera()
+        full = rasterize(xyz, feats, invalid, Q_ID, T_ID, cam, CFG)
+        cfg2 = dataclasses.replace(CFG, rgb_only=True)
+        fast = rasterize(xyz, feats, invalid, Q_ID, T_ID, cam, cfg2)
+        np.testing.assert_array_equal(np.asarray(fast.rgb),
+                                      np.asarray(full.rgb))
+        np.testing.assert_array_equal(np.asarray(fast.alpha),
+                                      np.asarray(full.alpha))
+        assert np.all(np.asarray(fast.depth) == 0.0)
