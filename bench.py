@@ -84,7 +84,9 @@ def main():
     keys, _, _ = jax.jit(
         lambda r, rad: build_keys(r, rad, invalid, camera, probe_cfg)
     )(raw, radius)
-    cap = fit_key_cap(int(keys.total))
+    # static scene + fixed pose: modest headroom (training uses 1.3 to ride
+    # out camera motion between re-bucketing checks)
+    cap = fit_key_cap(int(keys.total), headroom=1.1)
     # rgb_only matches the reference benchmark protocol
     # (benchmark/inference_benchmark.py uses the rgb-only rasterizer)
     cfg = RasterizerConfig(tile_size=32, key_cap=cap, interpret=interpret,

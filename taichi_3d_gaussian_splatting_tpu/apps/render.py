@@ -15,6 +15,7 @@ TPU-native extras:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -94,6 +95,8 @@ class GaussianPointRenderer:
         )
         camera = Camera(K=self.K, width=w, height=h)
         scene = self.scene
+        self.rcfg = dataclasses.replace(
+            self.rcfg, key_cap=self._fit_cap(camera))
 
         def render_one(q, t):
             out = rasterize(
@@ -103,6 +106,34 @@ class GaussianPointRenderer:
             return jnp.clip(out.rgb, 0.0, 1.0)
 
         self._render_one = jax.jit(render_one)
+
+    def _fit_cap(self, camera) -> int:
+        """Size the static key capacity to this scene's worst pose (probed
+        over a subsample of poses; every pipeline stage scales with it)."""
+        from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import (
+            build_keys, compute_raw_attrs,
+        )
+        from taichi_3d_gaussian_splatting_tpu.training.trainer import (
+            fit_key_cap,
+        )
+
+        scene = self.scene
+        probe_cfg = self.rcfg
+
+        @jax.jit
+        def count_keys(q, t):
+            raw, radius = compute_raw_attrs(
+                scene.xyz, scene.features, q, t, camera,
+                point_object_id=scene.object_id)
+            keys, _, _ = build_keys(raw, radius, scene.invalid, camera,
+                                    probe_cfg)
+            return keys.total
+
+        qs, ts = se3_to_qt(jnp.asarray(self.poses))
+        stride = max(1, self.poses.shape[0] // 8)
+        worst = max(int(count_keys(qs[i], ts[i]))
+                    for i in range(0, self.poses.shape[0], stride))
+        return fit_key_cap(worst, headroom=1.15)
 
     def frames(self):
         """Yield (index, (H, W, 3) uint8 frame) for every pose."""

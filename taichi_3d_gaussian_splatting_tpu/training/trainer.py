@@ -228,21 +228,21 @@ def make_eval_step(config: TrainConfig, height: int, width: int):
 
 def fit_key_cap(total_keys: int, minimum: int = 2 ** 15,
                 headroom: float = 1.3) -> int:
-    """Smallest 2^k or 1.5*2^k key capacity holding total_keys * headroom.
+    """Smallest (m/8)*2^k (m in 8..15) key capacity >= total_keys*headroom.
 
     Nearly every tiling/sort/gather stage scales with the STATIC key_cap,
     not the actual key count, so the trainer re-buckets the capacity as the
     scene grows/shrinks (one recompile per bucket change) instead of
-    running at a fixed worst-case cap. The half-step 1.5*2^k buckets (still
-    multiples of every kernel window size) avoid paying a full doubling
-    when the key count just crosses a power of two."""
-    need = int(total_keys * headroom) + 1
-    cap = minimum
-    while cap < need:
-        if cap + cap // 2 >= need:
-            return cap + cap // 2
-        cap *= 2
-    return cap
+    running at a fixed worst-case cap. Eighth-octave buckets (all multiples
+    of every kernel window size for caps >= 2^15) keep the worst-case
+    overshoot at 12.5% instead of 2x, while bounding recompiles to eight
+    bucket changes per doubling of the scene."""
+    need = max(int(total_keys * headroom) + 1, minimum)
+    base = minimum
+    while base * 2 <= need:
+        base *= 2
+    step = base // 8
+    return ((need + step - 1) // step) * step
 
 
 class GaussianPointCloudTrainer:
