@@ -100,8 +100,11 @@ def compute_point_attributes(
     direction = xyz - camera_center
     basis = sh_basis(direction)  # (N, 16)
     band_mask = _sh_band_mask(sh_max_band, basis.dtype)
-    raw = jnp.einsum("nck,nk->nc", sh, (basis * band_mask),
-                 precision=jax.lax.Precision.HIGHEST)
+    # elementwise mul + reduce, NOT einsum: a batched (3,16)x(16,) einsum
+    # lowers to the pathological batched-small-matmul path on TPU (same
+    # cliff as the EWA 3x3 products; see projection.py), and this form is
+    # exact f32 on the VPU with no precision pin needed
+    raw = jnp.sum(sh * (basis * band_mask)[:, None, :], axis=-1)
     color = 1.0 / (1.0 + jnp.exp(-raw))
 
     return PointAttributes(

@@ -93,7 +93,30 @@ def _tri_incl(n: int):
     """(n, n) inclusive lower-triangular ones: (x @ tri)[:, k] = cumsum."""
     r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    return (r <= c).astype(jnp.float32)
+    return (r <= c).astype(jnp.bfloat16)
+
+
+def _cumsum_mxu(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact f32 inclusive prefix sum along the 128-lane axis on the MXU.
+
+    3 native bf16 passes instead of HIGHEST's 6+: the triangular ones
+    matrix is bf16-exact, and the Dekker 3-term bf16 split of the f32
+    operand reconstructs it exactly (3 x 8 mantissa bits cover the 24-bit
+    significand), accumulated in f32.
+    """
+    tri = _tri_incl(x.shape[-1])
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = None
+    for part in (hi, mid, lo):
+        t = jax.lax.dot_general(
+            part, tri, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out = t if out is None else out + t
+    return out
 
 
 def _chunk_state(tab, xy, lane_lo, lane_hi, t_run):
@@ -106,18 +129,20 @@ def _chunk_state(tab, xy, lane_lo, lane_hi, t_run):
     VPU, exact f32.
     """
     x, y = xy
-    px_count = x.shape[0]
     dx = x - tab[0:1, :]   # (PX, CHUNK)
     dy = y - tab[1:2, :]
     ca, cb, cc = tab[2:3, :], tab[3:4, :], tab[4:5, :]
     power = (-0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
              + tab[5:6, :])
     alpha_u = jnp.exp(power)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (px_count, CHUNK), 1)
-    in_range = jnp.logical_and(lane >= lane_lo, lane < lane_hi)
+    # the range mask depends only on the LANE: build it (1, CHUNK) and let
+    # broadcasting lift it — a (PX, CHUNK) iota + compares here measured
+    # ~10% of the whole kernel
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    out_of_range = jnp.logical_or(lane < lane_lo, lane >= lane_hi)
     skip = jnp.logical_or(
         jnp.logical_not(alpha_u >= ALPHA_SKIP_EPS),  # catches NaN too
-        jnp.logical_not(in_range),
+        out_of_range,
     )
     a = jnp.where(skip, 0.0, jnp.minimum(alpha_u, ALPHA_CLAMP))
     om = 1.0 - a
@@ -128,10 +153,7 @@ def _chunk_state(tab, xy, lane_lo, lane_hi, t_run):
     # the log(1-x) cancellation regime. f32 HIGHEST keeps the rel error
     # ~1e-6 per 128-lane chunk, far inside the 1e-4 oracle gates.
     log_om = jnp.log(om)
-    s_incl = jax.lax.dot_general(
-        log_om, _tri_incl(CHUNK), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=HIGHEST,
-    )
+    s_incl = _cumsum_mxu(log_om)
     p_incl = t_run * jnp.exp(s_incl)  # (PX, CHUNK)
     t_excl = p_incl / om
     include = jnp.logical_and(jnp.logical_not(skip), p_incl >= T_SATURATION_EPS)
@@ -386,10 +408,7 @@ def _backward_kernel(
             gc = (g[:, 0:1] * tab[6:7, :] + g[:, 1:2] * tab[7:8, :]
                   + g[:, 2:3] * tab[8:9, :] + g[:, 3:4] * tab[9:10, :])
             gcw = gc * w
-            ga = ga_prev + jax.lax.dot_general(  # inclusive prefix on MXU
-                gcw, _tri_incl(CHUNK), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=HIGHEST,
-            )
+            ga = ga_prev + _cumsum_mxu(gcw)  # inclusive prefix on MXU
             s_after = g_cfin - ga
             dalpha = jnp.where(include, gc * t_excl - s_after / om, 0.0)
             de = dalpha * alpha_u  # dL/d_exponent, (PX, CHUNK)

@@ -181,13 +181,18 @@ def build_tile_keys_and_table(
     if attr_cols is None:
         attr_cols = jnp.zeros((10, n), jnp.float32)
     att = jnp.where(jnp.isfinite(attr_cols), attr_cols, 0.0)
+    # sort costs are ~linear in operand bytes: the per-key point index only
+    # rides where it's consumed (the no-attrs test/tool path), and rgb_only
+    # drops the depth column everywhere
+    n_attr = 9 if (rgb_only and has_attrs) else 10
 
     # Partition: key-owning points to a contiguous prefix (stable => their
     # offsets stay non-decreasing), every column riding as payloads.
     flag = jnp.where(counts > 0, 0, 1).astype(jnp.int32)
+    pidx_payload = () if has_attrs else (jnp.arange(n, dtype=jnp.int32),)
     parted = jax.lax.sort(
-        (flag, offsets, counts, dkey_pt, base_pt, h_pt,
-         jnp.arange(n, dtype=jnp.int32)) + tuple(att[i] for i in range(10)),
+        (flag, offsets, counts, dkey_pt, base_pt, h_pt) + pidx_payload
+        + tuple(att[i] for i in range(n_attr)),
         num_keys=1, is_stable=True,
     )
     off_s, cnt_s = parted[1], parted[2]
@@ -209,8 +214,15 @@ def build_tile_keys_and_table(
     lo = jnp.clip(cum[:-1] - 1, 0, n_pad - cand_cap)
     lo = (lo // al) * al
 
-    cand_cols = [off_s, cnt_s] + [parted[i] for i in range(3, 7)] \
-        + [parted[i] for i in range(7, 17)]
+    zcol = jnp.zeros((n,), jnp.float32)
+    if has_attrs:
+        # pidx column unused downstream (row 10 of the table is dropped
+        # before the key sort); attr columns beyond n_attr are zero-filled
+        cand_cols = ([parted[i] for i in range(1, 6)] + [zcol]
+                     + [parted[i] for i in range(6, 6 + n_attr)]
+                     + [zcol] * (10 - n_attr))
+    else:
+        cand_cols = [parted[i] for i in range(1, 17)]
     cand = jnp.stack(
         [c.astype(jnp.float32) for c in cand_cols], axis=0
     )  # (16, n) SoA: off, cnt, dkey, base, h, pidx, attrs...
@@ -246,7 +258,6 @@ def build_tile_keys_and_table(
         # rgb_only (the reference K6 template flag, :342): the depth column
         # only feeds the depth image — drop it from the sort (sort cost is
         # ~linear in operand bytes) and zero-fill its table row.
-        n_attr = 9 if rgb_only else 10
         operands = (fused, slot) + tuple(tbl[i] for i in range(n_attr))
         sorted_ops = jax.lax.sort(operands, num_keys=1, is_stable=True)
         fused_s, orig_s = sorted_ops[0], sorted_ops[1]
