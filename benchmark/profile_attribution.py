@@ -42,7 +42,8 @@ def analyze(trace_dir: str, runs: int) -> None:
 
 
 def capture(trace_dir: str, n_points: int, runs: int,
-            grad: bool = False) -> None:
+            grad: bool = False, rgb_only: bool = False,
+            fit_cap: bool = False) -> None:
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -69,9 +70,26 @@ def capture(trace_dir: str, n_points: int, runs: int,
     cam = Camera(
         K=jnp.asarray([[1000.0, 0, w / 2], [0, 1000.0, h / 2], [0, 0, 1]],
                       jnp.float32), width=w, height=h)
-    cfg = RasterizerConfig(tile_size=32, key_cap=2**21,
-                           interpret=jax.devices()[0].platform == "cpu",
-                           extra_info=False)
+    interpret = jax.devices()[0].platform == "cpu"
+    cap = 2**21
+    if fit_cap:
+        # mirror bench.py: probe the live key count, fit the static capacity
+        from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import (
+            build_keys, compute_raw_attrs,
+        )
+        from taichi_3d_gaussian_splatting_tpu.training.trainer import (
+            fit_key_cap,
+        )
+        probe_cfg = RasterizerConfig(tile_size=32, key_cap=cap,
+                                     interpret=interpret, extra_info=False)
+        raw, radius = jax.jit(lambda x, f: compute_raw_attrs(
+            x, f, Q, T, cam))(xyz, feats)
+        keys, _, _ = jax.jit(lambda r, rad: build_keys(
+            r, rad, invalid, cam, probe_cfg))(raw, radius)
+        cap = fit_key_cap(int(keys.total), headroom=1.1)
+        print(f"fitted key_cap={cap} (total={int(keys.total)})")
+    cfg = RasterizerConfig(tile_size=32, key_cap=cap, interpret=interpret,
+                           extra_info=False, rgb_only=rgb_only)
     if grad:
         f = jax.jit(lambda x, fe: jax.grad(
             lambda a, b: jnp.sum(rasterize(a, b, invalid, Q, T, cam, cfg).rgb),
@@ -95,11 +113,16 @@ def main():
     parser.add_argument("--analyze-only", type=str, default=None)
     parser.add_argument("--grad", action="store_true",
                         help="profile the fwd+bwd step instead of forward")
+    parser.add_argument("--rgb-only", action="store_true",
+                        help="inference path (bench.py protocol)")
+    parser.add_argument("--fit-cap", action="store_true",
+                        help="fit key_cap to the live key count (bench.py)")
     args = parser.parse_args()
     if args.analyze_only:
         analyze(args.analyze_only, args.runs)
         return
-    capture(args.out, args.points, args.runs, grad=args.grad)
+    capture(args.out, args.points, args.runs, grad=args.grad,
+            rgb_only=args.rgb_only, fit_cap=args.fit_cap)
     analyze(args.out, args.runs)
 
 

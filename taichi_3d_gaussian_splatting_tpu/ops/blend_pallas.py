@@ -154,8 +154,9 @@ def _chunk_state(tab, xy, lane_lo, lane_hi, t_run):
     # ~1e-6 per 128-lane chunk, far inside the 1e-4 oracle gates.
     log_om = jnp.log(om)
     s_incl = _cumsum_mxu(log_om)
-    p_incl = t_run * jnp.exp(s_incl)  # (PX, CHUNK)
-    t_excl = p_incl / om
+    # exclusive form first: one exp + one mul instead of exp + divide
+    t_excl = t_run * jnp.exp(s_incl - log_om)
+    p_incl = t_excl * om  # (PX, CHUNK)
     include = jnp.logical_and(jnp.logical_not(skip), p_incl >= T_SATURATION_EPS)
     w = jnp.where(include, a * t_excl, 0.0)
     return alpha_u, a, om, p_incl, t_excl, include, w, dx, dy
@@ -175,7 +176,7 @@ def _forward_kernel(
     out_ref,
     # scratch
     tab_ref, acc_ref, t_ref, sem,
-    *, tile: int,
+    *, tile: int, rgb_only: bool,
 ):
     px_count = tile * tile
     t = pl.program_id(0)
@@ -231,18 +232,22 @@ def _forward_kernel(
                 w, tab[6:10, :], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=HIGHEST,
             )  # (PX, 4): [sum w*r, w*g, w*b, w*depth]
-            w_sum = jnp.sum(w, axis=1, keepdims=True)
-            cnt = jnp.sum(include.astype(jnp.float32), axis=1, keepdims=True)
             acc_ref[:, 0:4] = acc_ref[:, 0:4] + acc
-            acc_ref[:, 4:5] = acc_ref[:, 4:5] + w_sum
-            acc_ref[:, 5:6] = acc_ref[:, 5:6] + cnt
-
             t_ref[:, 0:1] = p_incl[:, CHUNK - 1 : CHUNK]
-            t_fin = jnp.min(
-                jnp.where(include, p_incl, jnp.float32(2.0)), axis=1,
-                keepdims=True,
-            )
-            t_ref[:, 1:2] = jnp.minimum(t_ref[:, 1:2], t_fin)
+            if not rgb_only:
+                # depth normalizer, per-pixel blend count and the reported
+                # transmittance: only the full path consumes them
+                # (reference K6's rgb_only template flag skips them too)
+                w_sum = jnp.sum(w, axis=1, keepdims=True)
+                cnt = jnp.sum(include.astype(jnp.float32), axis=1,
+                              keepdims=True)
+                acc_ref[:, 4:5] = acc_ref[:, 4:5] + w_sum
+                acc_ref[:, 5:6] = acc_ref[:, 5:6] + cnt
+                t_fin = jnp.min(
+                    jnp.where(include, p_incl, jnp.float32(2.0)), axis=1,
+                    keepdims=True,
+                )
+                t_ref[:, 1:2] = jnp.minimum(t_ref[:, 1:2], t_fin)
 
         saturated = jnp.max(t_ref[:, 0:1]) < T_SATURATION_EPS
         next_inflight = jnp.logical_and(active, c + 1 < nch)
@@ -262,14 +267,16 @@ def blend_forward(
     table: jnp.ndarray,        # (16, cap_pad) SoA key table
     tile_start: jnp.ndarray,   # (num_tiles,) int32, CHUNK-aligned
     tile_end: jnp.ndarray,     # (num_tiles,) int32
-    *, tile: int, tiles_x: int, tiles_y: int, interpret: bool = False,
+    *, tile: int, tiles_x: int, tiles_y: int, rgb_only: bool = False,
+    interpret: bool = False,
 ):
     """Returns (num_tiles, tile*tile, 8) packed per-pixel outputs:
-    [r, g, b, depth_weighted_sum, weight_sum, include_count, T_final, 0].
+    [r, g, b, depth_weighted_sum, weight_sum, include_count, T_final, 0]
+    (rgb_only: only the first three channels are meaningful).
     """
     num_tiles = tiles_x * tiles_y
     px_count = tile * tile
-    kernel = functools.partial(_forward_kernel, tile=tile)
+    kernel = functools.partial(_forward_kernel, tile=tile, rgb_only=rgb_only)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),

@@ -151,7 +151,8 @@ def _blend_core_fwd(raw: RawAttrs, table: jnp.ndarray, keys: tiling.TileKeys,
     tiles_x, tiles_y = grid_hw
     out_tiles = blend_pallas.blend_forward(
         table, keys.tile_start, keys.tile_end,
-        tile=tile, tiles_x=tiles_x, tiles_y=tiles_y, interpret=cfg.interpret,
+        tile=tile, tiles_x=tiles_x, tiles_y=tiles_y, rgb_only=cfg.rgb_only,
+        interpret=cfg.interpret,
     )
     residuals = (raw, keys, table, out_tiles)
     return out_tiles, residuals
@@ -299,6 +300,12 @@ def _assemble(out_tiles, camera: Camera, cfg: RasterizerConfig):
     tile = cfg.tile_size
     tiles_x = camera.width // tile
     tiles_y = camera.height // tile
+    if cfg.rgb_only:
+        # only rgb is meaningful (reference K6 rgb_only, :342); slicing
+        # before the tile->image transpose keeps the relayout to 3 channels
+        rgb = _tiles_to_image(out_tiles[..., 0:3], tiles_x, tiles_y, tile)
+        zero = jnp.zeros(rgb.shape[:2], jnp.float32)
+        return RasterizeOutput(rgb=rgb, depth=zero, alpha=zero, count=zero)
     img = _tiles_to_image(out_tiles, tiles_x, tiles_y, tile)
     rgb = img[..., 0:3]
     depth = img[..., 3] / jnp.maximum(img[..., 4], 1e-6)

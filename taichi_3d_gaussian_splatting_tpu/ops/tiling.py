@@ -112,7 +112,10 @@ class TileKeys(NamedTuple):
                               # None on the attrs path (nothing consumes it
                               # and it would push the key sort over the
                               # 12-operand cost cliff)
-    orig_slot: jnp.ndarray    # (key_cap,) int32 pre-sort slot (permutation)
+    orig_slot: jnp.ndarray    # (key_cap,) int32 pre-sort slot (permutation);
+                              # None on the rgb_only path (only the backward
+                              # regroup consumes it — dropping it keeps the
+                              # key sort under the operand cost cliff)
     real: jnp.ndarray         # (key_cap,) bool: actual key vs padding
     tile_of_slot: jnp.ndarray # (key_cap,) int32 owning tile of each key
     tile_start: jnp.ndarray   # (num_tiles,) int32 (unaligned)
@@ -187,15 +190,31 @@ def build_tile_keys_and_table(
     n_attr = 9 if (rgb_only and has_attrs) else 10
 
     # Partition: key-owning points to a contiguous prefix (stable => their
-    # offsets stay non-decreasing), every column riding as payloads.
+    # offsets stay non-decreasing), every column riding as payloads. Sort
+    # cost is ~linear in operand count, so the five int32 meta columns are
+    # packed into two (dkey|h and cnt|base) and the offsets column is
+    # recomputed after the sort: a stable partition preserves the owners'
+    # relative order, so the cumsum of partitioned counts reproduces the
+    # partitioned offsets exactly.
+    nt_bits = int(num_tiles + 1).bit_length()
+    assert dbits + 8 <= 31, "depth key must leave 8 bits for bbox height"
+    assert 2 * nt_bits <= 31, f"too many tiles to pack counts: {num_tiles}"
+    assert height // tile <= 255, "bbox height must fit 8 bits"
     flag = jnp.where(counts > 0, 0, 1).astype(jnp.int32)
+    pk1 = (dkey_pt << 8) | h_pt
+    pk2 = (counts << nt_bits) | base_pt
     pidx_payload = () if has_attrs else (jnp.arange(n, dtype=jnp.int32),)
     parted = jax.lax.sort(
-        (flag, offsets, counts, dkey_pt, base_pt, h_pt) + pidx_payload
+        (flag, pk1, pk2) + pidx_payload
         + tuple(att[i] for i in range(n_attr)),
         num_keys=1, is_stable=True,
     )
-    off_s, cnt_s = parted[1], parted[2]
+    dkey_s = parted[1] >> 8
+    h_s = parted[1] & 255
+    cnt_s = parted[2] >> nt_bits
+    base_s = parted[2] & ((1 << nt_bits) - 1)
+    off_s = (jnp.cumsum(cnt_s.astype(jnp.float32)).astype(jnp.int32)
+             - cnt_s)
 
     wk = min(expand_mod.WKEYS, key_cap)
     nw = key_cap // wk
@@ -215,14 +234,16 @@ def build_tile_keys_and_table(
     lo = (lo // al) * al
 
     zcol = jnp.zeros((n,), jnp.float32)
+    meta_cols = [off_s, cnt_s, dkey_s, base_s, h_s]
     if has_attrs:
         # pidx column unused downstream (row 10 of the table is dropped
         # before the key sort); attr columns beyond n_attr are zero-filled
-        cand_cols = ([parted[i] for i in range(1, 6)] + [zcol]
-                     + [parted[i] for i in range(6, 6 + n_attr)]
+        cand_cols = (meta_cols + [zcol]
+                     + [parted[i] for i in range(3, 3 + n_attr)]
                      + [zcol] * (10 - n_attr))
     else:
-        cand_cols = [parted[i] for i in range(1, 17)]
+        cand_cols = (meta_cols + [parted[3]]
+                     + [parted[i] for i in range(4, 4 + n_attr)])
     cand = jnp.stack(
         [c.astype(jnp.float32) for c in cand_cols], axis=0
     )  # (16, n) SoA: off, cnt, dkey, base, h, pidx, attrs...
@@ -257,14 +278,21 @@ def build_tile_keys_and_table(
     if has_attrs:
         # rgb_only (the reference K6 template flag, :342): the depth column
         # only feeds the depth image — drop it from the sort (sort cost is
-        # ~linear in operand bytes) and zero-fill its table row.
-        operands = (fused, slot) + tuple(tbl[i] for i in range(n_attr))
+        # ~linear in operand bytes) and zero-fill its table row. The
+        # original-slot permutation only feeds the backward regroup, so it
+        # rides only when gradients are possible (not rgb_only).
+        slot_payload = () if rgb_only else (slot,)
+        operands = (fused,) + slot_payload + tuple(
+            tbl[i] for i in range(n_attr))
         sorted_ops = jax.lax.sort(operands, num_keys=1, is_stable=True)
-        fused_s, orig_s = sorted_ops[0], sorted_ops[1]
+        fused_s = sorted_ops[0]
+        orig_s = None if rgb_only else sorted_ops[1]
+        attr0 = 1 if rgb_only else 2
         pidx_s = None
         zeros = jnp.zeros((16 - n_attr, key_cap), jnp.float32)
         table = jnp.concatenate(
-            [jnp.stack(sorted_ops[2:2 + n_attr], axis=0), zeros], axis=0
+            [jnp.stack(sorted_ops[attr0:attr0 + n_attr], axis=0), zeros],
+            axis=0,
         )  # (16, key_cap): rows 0..n_attr-1 attrs, rest zero
     else:
         sorted_ops = jax.lax.sort((fused, slot, tbl[10]), num_keys=1,

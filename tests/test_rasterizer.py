@@ -239,6 +239,8 @@ class TestRgbOnly:
         fast = rasterize(xyz, feats, invalid, Q_ID, T_ID, cam, cfg2)
         np.testing.assert_array_equal(np.asarray(fast.rgb),
                                       np.asarray(full.rgb))
-        np.testing.assert_array_equal(np.asarray(fast.alpha),
-                                      np.asarray(full.alpha))
+        # rgb_only skips the extras entirely (reference K6 rgb_only
+        # template also leaves them unwritten): zeros, not garbage
+        assert np.all(np.asarray(fast.alpha) == 0.0)
         assert np.all(np.asarray(fast.depth) == 0.0)
+        assert np.all(np.asarray(fast.count) == 0.0)
