@@ -96,21 +96,28 @@ def _tri_incl(n: int):
     return (r <= c).astype(jnp.bfloat16)
 
 
-def _cumsum_mxu(x: jnp.ndarray) -> jnp.ndarray:
-    """Exact f32 inclusive prefix sum along the 128-lane axis on the MXU.
+def _cumsum_mxu(x: jnp.ndarray, terms: int = 3) -> jnp.ndarray:
+    """f32 inclusive prefix sum along the 128-lane axis on the MXU.
 
-    3 native bf16 passes instead of HIGHEST's 6+: the triangular ones
-    matrix is bf16-exact, and the Dekker 3-term bf16 split of the f32
-    operand reconstructs it exactly (3 x 8 mantissa bits cover the 24-bit
-    significand), accumulated in f32.
+    ``terms`` native bf16 passes instead of HIGHEST's 6+: the triangular
+    ones matrix is bf16-exact and the Dekker bf16 split of the f32 operand
+    is accumulated in f32. terms=3 reconstructs the full 24-bit significand
+    (exact); terms=2 leaves a residual <= sum|x_i| * 2^-18 — for the
+    forward's log(1-a) operand that is < 4e-5 absolute in log space
+    (saturation bounds sum|log| by ~9.2), i.e. < 4e-5 relative error in
+    the transmittance, far inside the 1e-4 oracle gates and ~100x below
+    display quantization. The backward keeps terms=3: its prefix feeds the
+    cancellation-prone g.C_final - g.A subtraction.
     """
     tri = _tri_incl(x.shape[-1])
     hi = x.astype(jnp.bfloat16)
     r1 = x - hi.astype(jnp.float32)
     mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    parts = [hi, mid]
+    if terms >= 3:
+        parts.append((r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16))
     out = None
-    for part in (hi, mid, lo):
+    for part in parts:
         t = jax.lax.dot_general(
             part, tri, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -119,31 +126,30 @@ def _cumsum_mxu(x: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def _chunk_state(tab, xy, lane_lo, lane_hi, t_run):
+def _chunk_state(tab, xy, lane_lo, lane_hi, t_run, rgb_only=False):
     """Shared fwd/bwd per-chunk recompute: alphas, masks, transmittances.
 
     tab: (16, CHUNK) SoA chunk; xy: ((PX, 1), (PX, 1)) tile-local pixel
     centers; lanes in [lane_lo, lane_hi) are real keys of the current tile
     (ranges are NOT chunk-aligned — the window may straddle neighboring
     tiles' keys); t_run: (PX, 1) carried transmittance. All math on the
-    VPU, exact f32.
+    VPU, exact f32. rgb_only skips the `include` mask (returned as None).
     """
     x, y = xy
     dx = x - tab[0:1, :]   # (PX, CHUNK)
     dy = y - tab[1:2, :]
     ca, cb, cc = tab[2:3, :], tab[3:4, :], tab[4:5, :]
-    power = (-0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-             + tab[5:6, :])
-    alpha_u = jnp.exp(power)
-    # the range mask depends only on the LANE: build it (1, CHUNK) and let
-    # broadcasting lift it — a (PX, CHUNK) iota + compares here measured
-    # ~10% of the whole kernel
+    # the range mask depends only on the LANE: fold it into the (1, CHUNK)
+    # log-opacity row (exp underflows to exactly 0) instead of OR-ing a
+    # (PX, CHUNK) mask — out-of-range lanes then skip via the alpha test,
+    # NaN lanes via the not(>=) form
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
     out_of_range = jnp.logical_or(lane < lane_lo, lane >= lane_hi)
-    skip = jnp.logical_or(
-        jnp.logical_not(alpha_u >= ALPHA_SKIP_EPS),  # catches NaN too
-        out_of_range,
-    )
+    logro = jnp.where(out_of_range, jnp.float32(-1e4), tab[5:6, :])
+    power = (-0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+             + logro)
+    alpha_u = jnp.exp(power)
+    skip = jnp.logical_not(alpha_u >= ALPHA_SKIP_EPS)  # catches NaN too
     a = jnp.where(skip, 0.0, jnp.minimum(alpha_u, ALPHA_CLAMP))
     om = 1.0 - a
     # cumulative transmittance in LOG space: the per-lane cumprod becomes
@@ -153,12 +159,18 @@ def _chunk_state(tab, xy, lane_lo, lane_hi, t_run):
     # the log(1-x) cancellation regime. f32 HIGHEST keeps the rel error
     # ~1e-6 per 128-lane chunk, far inside the 1e-4 oracle gates.
     log_om = jnp.log(om)
-    s_incl = _cumsum_mxu(log_om)
+    # terms=2 keeps fwd and bwd-recompute transmittances identical while
+    # saving an MXU pass (error bound in _cumsum_mxu's docstring)
+    s_incl = _cumsum_mxu(log_om, terms=2)
     # exclusive form first: one exp + one mul instead of exp + divide
     t_excl = t_run * jnp.exp(s_incl - log_om)
     p_incl = t_excl * om  # (PX, CHUNK)
-    include = jnp.logical_and(jnp.logical_not(skip), p_incl >= T_SATURATION_EPS)
-    w = jnp.where(include, a * t_excl, 0.0)
+    sat = p_incl >= T_SATURATION_EPS
+    # skipped lanes already have a == 0, so the saturation mask alone
+    # reproduces w = where(include, a * t_excl, 0)
+    w = jnp.where(sat, a, 0.0) * t_excl
+    include = (None if rgb_only
+               else jnp.logical_and(jnp.logical_not(skip), sat))
     return alpha_u, a, om, p_incl, t_excl, include, w, dx, dy
 
 
@@ -226,7 +238,7 @@ def _forward_kernel(
             t_run = t_ref[:, 0:1]
             alpha_u, a, om, p_incl, t_excl, include, w, _, _ = _chunk_state(
                 tab, xy, start - base - c * CHUNK, end - base - c * CHUNK,
-                t_run
+                t_run, rgb_only=rgb_only,
             )
             acc = jax.lax.dot_general(
                 w, tab[6:10, :], (((1,), (1,)), ((), ())),

@@ -52,9 +52,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 HIGHEST = jax.lax.Precision.HIGHEST
 
-WKEYS = 2048     # key slots per grid step
+WKEYS = 4096     # key slots per grid step (fewer, fatter steps: the DMA
+                 # and scalar-prefetch overheads halved vs 2048 at equal
+                 # matmul work)
 SUBKEYS = 512    # key slots per inner matmul tile
-CAND_CAP = 2304  # candidate lanes DMA'd per step (>= WKEYS + 1 + 128 align)
+CAND_CAP = 4352  # candidate lanes DMA'd per step (>= WKEYS + 1 + 128 align)
 CSUB = 640       # candidate lanes per inner matmul tile (>= SUBKEYS+1+128)
 ALIGN = 128      # lane alignment of every dynamic slice
 PAD_OFF = float(1 << 30)  # off value of non-key-owning candidate lanes

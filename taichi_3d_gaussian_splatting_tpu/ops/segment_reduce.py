@@ -133,13 +133,14 @@ def _kernel(
         gid = win_base(b, w) + jax.lax.broadcasted_iota(
             jnp.int32, (offsets_ref.shape[1], win), 1
         )  # ABSOLUTE key index per loaded lane, broadcast over points
-        member = (
-            jnp.logical_and(gid >= off_lo, gid < off_hi)
-            # exclusivity under end-of-array clamping: only this window's
-            # unclamped span counts (re-read lanes contribute elsewhere)
-            & jnp.logical_and(gid >= lo_al + w * win,
-                              gid < lo_al + (w + 1) * win)
-        )
+        # intersect each segment with this window's unclamped span at the
+        # (PB, 1) bounds instead of AND-ing a second (PB, win) span mask
+        # (exclusivity under end-of-array clamping: re-read lanes must
+        # contribute only in their own window) — halves the mask VPU work,
+        # which dominates this kernel
+        lo_w = jnp.maximum(off_lo, lo_al + w * win)
+        hi_w = jnp.minimum(off_hi, lo_al + (w + 1) * win)
+        member = jnp.logical_and(gid >= lo_w, gid < hi_w)
         return acc + dot_bf16x3(
             member, row_ref[slot], (((1,), (1,)), ((), ())))
 
