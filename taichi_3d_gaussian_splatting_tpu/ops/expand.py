@@ -26,6 +26,13 @@ tile-local coordinates, and emits the (16, key_cap) blend attribute table
 in pre-sort key order — every column then rides `lax.sort` as payloads,
 which measure ~free, replacing a 15 ms post-sort row gather.
 
+With ``exact_cull`` the kernel additionally retires (point, tile) pairs
+whose Gaussian never reaches the 1/255 alpha threshold anywhere in the
+tile (exact convex-quadratic minimum over the tile's pixel-center rect):
+the rectangular bbox enumeration emits keys for corner tiles the ellipse
+misses, and sending them to the sentinel shrinks every tile's blend range
+(~15-25%% of live keys on typical scenes) with bit-identical output.
+
 Candidate layout (16, n_pad) f32 SoA (minor dim = points: Mosaic requires
 128-lane-aligned slices, so the point axis must be the lane axis),
 partitioned (count>0 prefix, original relative order preserved — offsets
@@ -60,6 +67,7 @@ CAND_CAP = 4352  # candidate lanes DMA'd per step (>= WKEYS + 1 + 128 align)
 CSUB = 640       # candidate lanes per inner matmul tile (>= SUBKEYS+1+128)
 ALIGN = 128      # lane alignment of every dynamic slice
 PAD_OFF = float(1 << 30)  # off value of non-key-owning candidate lanes
+LOG255 = 5.541263545158426  # log(255): the 1/255 alpha-skip in log space
 
 
 def _expand_kernel(
@@ -75,6 +83,7 @@ def _expand_kernel(
     cand_ref, sem,
     *, wk: int, sub: int, cand_cap: int, csub: int, nw: int,
     tiles_u: int, tile: int, dbits: int, num_tiles: int,
+    exact_cull: bool,
 ):
     w = pl.program_id(0)
     lim = lim_ref[0]
@@ -153,14 +162,59 @@ def _expand_kernel(
         dv = j - du * hh
         tid = base + du + dv * tiles_u
         valid = gid < lim
-        fused = jnp.where(valid, tid * (2 ** dbits) + dkey, sentinel)
-        fused_ref[0:1, s * sub:(s + 1) * sub] = fused
 
         # tile-local splat centers (blend kernels need small exact coords)
         cx = (tid - (tid // tiles_u) * tiles_u).astype(jnp.float32) * tile
         cy = (tid // tiles_u).astype(jnp.float32) * tile
-        u_l = jnp.where(valid, E[6:7, :] - cx, 0.0)
-        v_l = jnp.where(valid, E[7:8, :] - cy, 0.0)
+        u_raw = E[6:7, :] - cx
+        v_raw = E[7:8, :] - cy
+
+        if exact_cull:
+            # Exact (point, tile) cull: the pair is dead iff the blend
+            # quadratic q(dx,dy) = 0.5(a dx^2 + c dy^2) + b dx dy exceeds
+            # logro + log(255) at EVERY pixel center of the tile — the
+            # blend kernel's 1/255 alpha test then skips all of them, so
+            # retiring the key to the sentinel is output-bit-identical
+            # while shrinking every tile's blend range. q is convex, so
+            # its min over the pixel-center rect is 0 if the center is
+            # inside, else the min over the four edges (per-edge 1-D
+            # minimizer clamped to the edge — exact for convex). The
+            # continuous-rect min lower-bounds the discrete-center min,
+            # keeping the cull conservative. Degenerate/zero conics give
+            # NaN qmin and NaN > tau is False: such pairs are kept.
+            ca, cb, cc = E[8:9, :], E[9:10, :], E[10:11, :]
+            logro = E[11:12, :]
+            x0 = 0.5 - u_raw
+            x1 = (tile - 0.5) - u_raw
+            y0 = 0.5 - v_raw
+            y1 = (tile - 0.5) - v_raw
+
+            def q_at(xx, yy):
+                return 0.5 * (ca * xx * xx + cc * yy * yy) + cb * xx * yy
+
+            def edge_x(xx):  # min over dy in [y0, y1] at fixed dx
+                ys = jnp.clip(-cb * xx / cc, y0, y1)
+                return q_at(xx, ys)
+
+            def edge_y(yy):  # min over dx in [x0, x1] at fixed dy
+                xs = jnp.clip(-cb * yy / ca, x0, x1)
+                return q_at(xs, yy)
+
+            inside = ((x0 <= 0.0) & (0.0 <= x1)
+                      & (y0 <= 0.0) & (0.0 <= y1))
+            qmin = jnp.minimum(
+                jnp.minimum(edge_x(x0), edge_x(x1)),
+                jnp.minimum(edge_y(y0), edge_y(y1)),
+            )
+            qmin = jnp.where(inside, 0.0, qmin)
+            valid = jnp.logical_and(
+                valid, jnp.logical_not(qmin > logro + LOG255))
+
+        fused = jnp.where(valid, tid * (2 ** dbits) + dkey, sentinel)
+        fused_ref[0:1, s * sub:(s + 1) * sub] = fused
+
+        u_l = jnp.where(valid, u_raw, 0.0)
+        v_l = jnp.where(valid, v_raw, 0.0)
         zero = jnp.zeros((1, sub), jnp.float32)
         tbl_ref[:, s * sub:(s + 1) * sub] = jnp.concatenate(
             [u_l, v_l, E[8:16, :], E[5:6, :],  # rows 0..9 attrs, 10 pidx
@@ -174,7 +228,7 @@ def expand_keys(
     lo: jnp.ndarray,       # (nw,) int32 128-aligned window candidate starts
     lim: jnp.ndarray,      # (2,) int32 [min(total, cap), sentinel]
     *, key_cap: int, tiles_u: int, tile: int, dbits: int, num_tiles: int,
-    interpret: bool = False,
+    exact_cull: bool = True, interpret: bool = False,
 ):
     """Returns (fused (key_cap,) int32, table (16, key_cap) f32)."""
     n_pad = cand.shape[1]
@@ -190,6 +244,7 @@ def expand_keys(
     kernel = functools.partial(
         _expand_kernel, wk=wk, sub=sub, cand_cap=cand_cap, csub=csub, nw=nw,
         tiles_u=tiles_u, tile=tile, dbits=dbits, num_tiles=num_tiles,
+        exact_cull=exact_cull,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

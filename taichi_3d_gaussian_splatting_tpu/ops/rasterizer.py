@@ -67,6 +67,10 @@ class RasterizerConfig:
     tile_size: int = 32          # pixels per tile side (reference: 16, CUDA)
     key_cap: int = 2 ** 21       # static capacity of the tile-key buffer
     extra_info: bool = True      # densification stats in backward
+    exact_tile_cull: bool = True # retire (point, tile) pairs whose max
+                                 # in-tile alpha < 1/255 to the sentinel
+                                 # inside the expand kernel (bit-identical
+                                 # output, smaller blend ranges)
     interpret: bool = False      # run Pallas kernels in interpreter mode
     cull_pad_v_tiles: Optional[int] = None  # vertical cull pad override
                                  # (tiles); band-sharded rendering widens it
@@ -291,7 +295,8 @@ def build_keys(raw: RawAttrs, radius, invalid_mask, camera: Camera,
         sg(raw.uv), sg(raw.depth), sg(radius), visible,
         camera.width, camera.height, cfg.tile_size, cfg.key_cap,
         cfg.depth_to_sort_key_scale, attr_cols=sg(attr_cols),
-        rgb_only=cfg.rgb_only, interpret=cfg.interpret,
+        rgb_only=cfg.rgb_only, exact_tile_cull=cfg.exact_tile_cull,
+        interpret=cfg.interpret,
     )
     return keys, table, visible
 

@@ -143,6 +143,7 @@ def build_tile_keys_and_table(
     depth_to_sort_key_scale: float = 2.0**10,
     attr_cols: Optional[jnp.ndarray] = None,
     rgb_only: bool = False,
+    exact_tile_cull: bool = True,
     interpret: bool = False,
 ) -> Tuple[TileKeys, Optional[jnp.ndarray]]:
     """Expand visible splats into depth-sorted per-tile keys, and (when
@@ -263,7 +264,8 @@ def build_tile_keys_and_table(
     ])
     fused, tbl = expand_mod.expand_keys(
         cand, lo, lim, key_cap=key_cap, tiles_u=tiles_u, tile=tile,
-        dbits=dbits, num_tiles=num_tiles, interpret=interpret,
+        dbits=dbits, num_tiles=num_tiles,
+        exact_cull=exact_tile_cull and has_attrs, interpret=interpret,
     )
 
     # ONE sort: every table column rides as a payload. CRITICAL operand

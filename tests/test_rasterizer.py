@@ -135,6 +135,30 @@ class TestForward:
         np.testing.assert_array_equal(np.asarray(out.count),
                                       np.asarray(count_ref))
 
+    def test_exact_tile_cull_lossless(self):
+        """The expand-kernel tile cull removes dead (point, tile) pairs
+        without touching any live one: the per-pixel blended-splat count
+        must be bit-identical with the cull on and off, while the live key
+        total shrinks (corner tiles of anisotropic splats)."""
+        import dataclasses
+        from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import (
+            build_keys, compute_raw_attrs,
+        )
+        xyz, feats, invalid = make_scene(300, seed=5)
+        cam = make_camera(w=128, h=64)
+        outs, live = {}, {}
+        for cull in (False, True):
+            cfg = dataclasses.replace(CFG, exact_tile_cull=cull)
+            raw, radius = compute_raw_attrs(xyz, feats, Q_ID, T_ID, cam)
+            keys, _, _ = build_keys(raw, radius, invalid, cam, cfg)
+            live[cull] = int(jnp.sum(keys.tile_end - keys.tile_start))
+            outs[cull] = rasterize(xyz, feats, invalid, Q_ID, T_ID, cam, cfg)
+        assert live[True] < live[False]
+        np.testing.assert_array_equal(np.asarray(outs[True].count),
+                                      np.asarray(outs[False].count))
+        np.testing.assert_allclose(np.asarray(outs[True].rgb),
+                                   np.asarray(outs[False].rgb), atol=1e-5)
+
     def test_empty_scene(self):
         xyz, feats, _ = make_scene(64)
         invalid = jnp.ones((64,), bool)
