@@ -102,12 +102,14 @@ def _cumsum_mxu(x: jnp.ndarray, terms: int = 3) -> jnp.ndarray:
     ``terms`` native bf16 passes instead of HIGHEST's 6+: the triangular
     ones matrix is bf16-exact and the Dekker bf16 split of the f32 operand
     is accumulated in f32. terms=3 reconstructs the full 24-bit significand
-    (exact); terms=2 leaves a residual <= sum|x_i| * 2^-18 — for the
-    forward's log(1-a) operand that is < 4e-5 absolute in log space
-    (saturation bounds sum|log| by ~9.2), i.e. < 4e-5 relative error in
-    the transmittance, far inside the 1e-4 oracle gates and ~100x below
-    display quantization. The backward keeps terms=3: its prefix feeds the
-    cancellation-prone g.C_final - g.A subtraction.
+    (exact); terms=2 drops the third term, bounded by half-ulp bf16
+    rounding of the second: <= sum|x_i| * 2^-17. For the forward's
+    log(1-a) operand the saturation cutoff bounds sum|log| by ~9.2, so the
+    worst-case transmittance relative error is ~7e-5 — under the 1e-4
+    oracle gates (with little margin in the adversarial worst case, but
+    real scenes sit orders of magnitude below the saturation-sum bound)
+    and ~50x below display quantization. The backward keeps terms=3: its
+    prefix feeds the cancellation-prone g.C_final - g.A subtraction.
     """
     tri = _tri_incl(x.shape[-1])
     hi = x.astype(jnp.bfloat16)

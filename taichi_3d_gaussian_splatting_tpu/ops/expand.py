@@ -28,10 +28,12 @@ which measure ~free, replacing a 15 ms post-sort row gather.
 
 With ``exact_cull`` the kernel additionally retires (point, tile) pairs
 whose Gaussian never reaches the 1/255 alpha threshold anywhere in the
-tile (exact convex-quadratic minimum over the tile's pixel-center rect):
-the rectangular bbox enumeration emits keys for corner tiles the ellipse
-misses, and sending them to the sentinel shrinks every tile's blend range
-(~15-25%% of live keys on typical scenes) with bit-identical output.
+tile (exact convex-quadratic minimum over the tile's pixel-center rect,
+with a small margin so fp jitter between this test and the blend kernel's
+per-pixel alpha test can never disagree): the rectangular bbox enumeration
+emits keys for corner tiles the ellipse misses, and sending them to the
+sentinel shrinks every tile's blend range (~15-25% of live keys on
+typical scenes) with output-identical results.
 
 Candidate layout (16, n_pad) f32 SoA (minor dim = points: Mosaic requires
 128-lane-aligned slices, so the point axis must be the lane axis),
@@ -68,6 +70,17 @@ CSUB = 640       # candidate lanes per inner matmul tile (>= SUBKEYS+1+128)
 ALIGN = 128      # lane alignment of every dynamic slice
 PAD_OFF = float(1 << 30)  # off value of non-key-owning candidate lanes
 LOG255 = 5.541263545158426  # log(255): the 1/255 alpha-skip in log space
+
+
+def window_size(key_cap: int) -> int:
+    """Key slots per grid step: largest power-of-two divisor of key_cap,
+    capped at WKEYS. fit_key_cap produces (m/8)*2^k caps, which below 2^15
+    can be odd multiples of 512 (e.g. 6144) that WKEYS does not divide."""
+    return min(WKEYS, key_cap & (-key_cap))
+CULL_MARGIN = 1e-3  # keep pairs within fp jitter of the alpha threshold:
+                    # the cull and the blend evaluate the quadratic with
+                    # different fp expressions, so an exactly-threshold
+                    # alpha could otherwise flip between them
 
 
 def _expand_kernel(
@@ -172,10 +185,11 @@ def _expand_kernel(
         if exact_cull:
             # Exact (point, tile) cull: the pair is dead iff the blend
             # quadratic q(dx,dy) = 0.5(a dx^2 + c dy^2) + b dx dy exceeds
-            # logro + log(255) at EVERY pixel center of the tile — the
-            # blend kernel's 1/255 alpha test then skips all of them, so
-            # retiring the key to the sentinel is output-bit-identical
-            # while shrinking every tile's blend range. q is convex, so
+            # logro + log(255) (+ CULL_MARGIN against fp jitter) at EVERY
+            # pixel center of the tile — the blend kernel's 1/255 alpha
+            # test then skips all of them, so retiring the key to the
+            # sentinel is output-identical while shrinking every tile's
+            # blend range. q is convex, so
             # its min over the pixel-center rect is 0 if the center is
             # inside, else the min over the four edges (per-edge 1-D
             # minimizer clamped to the edge — exact for convex). The
@@ -208,7 +222,8 @@ def _expand_kernel(
             )
             qmin = jnp.where(inside, 0.0, qmin)
             valid = jnp.logical_and(
-                valid, jnp.logical_not(qmin > logro + LOG255))
+                valid,
+                jnp.logical_not(qmin > logro + (LOG255 + CULL_MARGIN)))
 
         fused = jnp.where(valid, tid * (2 ** dbits) + dkey, sentinel)
         fused_ref[0:1, s * sub:(s + 1) * sub] = fused
@@ -232,7 +247,7 @@ def expand_keys(
 ):
     """Returns (fused (key_cap,) int32, table (16, key_cap) f32)."""
     n_pad = cand.shape[1]
-    wk = min(WKEYS, key_cap)
+    wk = window_size(key_cap)
     sub = min(SUBKEYS, wk)
     cand_cap = min(CAND_CAP, n_pad)
     csub = min(CSUB, cand_cap)

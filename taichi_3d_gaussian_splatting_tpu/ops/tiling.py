@@ -217,7 +217,7 @@ def build_tile_keys_and_table(
     off_s = (jnp.cumsum(cnt_s.astype(jnp.float32)).astype(jnp.int32)
              - cnt_s)
 
-    wk = min(expand_mod.WKEYS, key_cap)
+    wk = expand_mod.window_size(key_cap)
     nw = key_cap // wk
     al = expand_mod.ALIGN
     n_pad = max(((n + al - 1) // al) * al, al)

@@ -110,6 +110,23 @@ class TestTiling:
             dq = (d * 1024).astype(np.int32)
             assert np.all(np.diff(dq) >= 0)
 
+    def test_odd_multiple_key_cap(self):
+        """fit_key_cap's eighth-octave buckets below 2^15 can be odd
+        multiples of 512 (e.g. 6144) that WKEYS does not divide; the
+        expand window must fall back to a power-of-two divisor."""
+        n = 50
+        uv = jnp.asarray(RNG.uniform(0, 64, (n, 2)).astype(np.float32))
+        radius = jnp.asarray(RNG.uniform(1.0, 20.0, n).astype(np.float32))
+        depth = jnp.asarray(RNG.uniform(1.0, 10.0, n).astype(np.float32))
+        visible = jnp.ones((n,), bool)
+        keys = tiling.build_tile_keys(
+            uv, depth, radius, visible, 64, 64, 32, key_cap=6144,
+            interpret=True,
+        )
+        assert int(keys.total) > 0
+        assert int(jnp.sum(keys.tile_end - keys.tile_start)) == min(
+            int(keys.total), 6144)
+
     def test_inverse_permutation(self):
         slots = jnp.asarray(RNG.permutation(256).astype(np.int32))
         inv = tiling.inverse_permutation(slots)
