@@ -99,7 +99,10 @@ def main():
         lambda x, f: compute_raw_attrs(x, f, Q_ID, T_ID, cam))(xyz, feats)
     keys, table, visible = jax.jit(
         lambda r, rad: build_keys(r, rad, invalid, cam, cfg))(raw, radius)
-    print(f"  total keys: {int(keys.total)} / cap {cfg.key_cap}", flush=True)
+    live = int(jnp.sum(keys.tile_end - keys.tile_start))
+    print(f"  total keys: {int(keys.total)} / cap {cfg.key_cap}; "
+          f"live after exact tile cull: {live} "
+          f"({100.0 * live / max(int(keys.total), 1):.1f}%)", flush=True)
 
     bench_injit(lambda r, rad: build_keys(r, rad, invalid, cam, cfg)[1],
                 1, raw, radius, name="build_keys+table (expand+sort)")
