@@ -89,10 +89,15 @@ def main():
     # reference's exact per-frame M-sized buffer allocation (training uses
     # 1.3 to ride out camera motion between re-bucketing checks)
     cap = fit_key_cap(int(keys.total), headroom=1.0)
+    # direct candidate mode when the fitted window scale is modest: skips
+    # the N-length partition sort entirely (exact at the fitted scale)
+    scale = int(keys.cand_scale_req)
+    mode = "direct" if scale <= 8 else "partition"
     # rgb_only matches the reference benchmark protocol
     # (benchmark/inference_benchmark.py uses the rgb-only rasterizer)
     cfg = RasterizerConfig(tile_size=32, key_cap=cap, interpret=interpret,
-                           extra_info=False, rgb_only=True)
+                           extra_info=False, rgb_only=True,
+                           candidate_mode=mode, cand_scale=scale)
 
     @jax.jit
     def timed_chain(x, f):

@@ -95,8 +95,13 @@ class GaussianPointRenderer:
         )
         camera = Camera(K=self.K, width=w, height=h)
         scene = self.scene
+        cap, scale = self._fit_cap(camera)
+        # direct candidate mode skips the N-length partition sort; exact at
+        # the probed scale, so only use it when the scale stays modest
+        # (sparse scenes would need huge candidate windows)
+        mode = "direct" if scale <= 8 else "partition"
         self.rcfg = dataclasses.replace(
-            self.rcfg, key_cap=self._fit_cap(camera))
+            self.rcfg, key_cap=cap, candidate_mode=mode, cand_scale=scale)
 
         def render_one(q, t):
             out = rasterize(
@@ -107,9 +112,10 @@ class GaussianPointRenderer:
 
         self._render_one = jax.jit(render_one)
 
-    def _fit_cap(self, camera) -> int:
+    def _fit_cap(self, camera):
         """Size the static key capacity to this scene's worst pose (probed
-        over a subsample of poses; every pipeline stage scales with it)."""
+        over a subsample of poses; every pipeline stage scales with it).
+        Returns (key_cap, worst candidate-window scale for direct mode)."""
         from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import (
             build_keys, compute_raw_attrs,
         )
@@ -127,13 +133,15 @@ class GaussianPointRenderer:
                 point_object_id=scene.object_id)
             keys, _, _ = build_keys(raw, radius, scene.invalid, camera,
                                     probe_cfg)
-            return keys.total
+            return keys.total, keys.cand_scale_req
 
         qs, ts = se3_to_qt(jnp.asarray(self.poses))
         stride = max(1, self.poses.shape[0] // 8)
-        worst = max(int(count_keys(qs[i], ts[i]))
-                    for i in range(0, self.poses.shape[0], stride))
-        return fit_key_cap(worst, headroom=1.15)
+        probes = [count_keys(qs[i], ts[i])
+                  for i in range(0, self.poses.shape[0], stride)]
+        worst = max(int(t) for t, _ in probes)
+        scale = max(int(s) for _, s in probes)
+        return fit_key_cap(worst, headroom=1.15), scale
 
     def frames(self):
         """Yield (index, (H, W, 3) uint8 frame) for every pose."""

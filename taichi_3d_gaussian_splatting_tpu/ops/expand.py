@@ -175,6 +175,12 @@ def _expand_kernel(
         dv = j - du * hh
         tid = base + du + dv * tiles_u
         valid = gid < lim
+        # a key whose owning candidate was clipped out of the DMA window
+        # (span overflow in direct candidate mode) has an all-zero one-hot
+        # column; its h would decode as 0 where real owners have h >= 1 —
+        # retire it to the sentinel (dropped-key semantics, like key_cap
+        # overflow) instead of emitting a garbage tile-0 key
+        valid = jnp.logical_and(valid, E[4:5, :] >= 0.5)
 
         # tile-local splat centers (blend kernels need small exact coords)
         cx = (tid - (tid // tiles_u) * tiles_u).astype(jnp.float32) * tile
@@ -243,14 +249,19 @@ def expand_keys(
     lo: jnp.ndarray,       # (nw,) int32 128-aligned window candidate starts
     lim: jnp.ndarray,      # (2,) int32 [min(total, cap), sentinel]
     *, key_cap: int, tiles_u: int, tile: int, dbits: int, num_tiles: int,
-    exact_cull: bool = True, interpret: bool = False,
+    exact_cull: bool = True, cand_scale: int = 1, interpret: bool = False,
 ):
-    """Returns (fused (key_cap,) int32, table (16, key_cap) f32)."""
+    """Returns (fused (key_cap,) int32, table (16, key_cap) f32).
+
+    ``cand_scale`` multiplies the candidate window sizes (CAND_CAP, CSUB):
+    direct candidate mode (no host-side partition) interleaves zero-count
+    lanes into the runs, so windows must span proportionally more lanes —
+    the caller fits the scale from the span diagnostic (tiling.py)."""
     n_pad = cand.shape[1]
     wk = window_size(key_cap)
     sub = min(SUBKEYS, wk)
-    cand_cap = min(CAND_CAP, n_pad)
-    csub = min(CSUB, cand_cap)
+    cand_cap = min(CAND_CAP * cand_scale, n_pad)
+    csub = min(CSUB * cand_scale, cand_cap)
     nw = key_cap // wk
     assert key_cap % wk == 0 and wk % sub == 0
     assert n_pad % ALIGN == 0 and cand_cap % ALIGN == 0

@@ -71,6 +71,14 @@ class RasterizerConfig:
                                  # in-tile alpha < 1/255 to the sentinel
                                  # inside the expand kernel (bit-identical
                                  # output, smaller blend ranges)
+    candidate_mode: str = "partition"  # "partition": N-length sort packs
+                                 # key owners into a prefix (robust at any
+                                 # visibility density); "direct": skip that
+                                 # sort, candidate runs interleave
+                                 # zero-count lanes (needs cand_scale >=
+                                 # TileKeys.cand_scale_req or surplus keys
+                                 # drop)
+    cand_scale: int = 1          # direct-mode candidate window multiplier
     interpret: bool = False      # run Pallas kernels in interpreter mode
     cull_pad_v_tiles: Optional[int] = None  # vertical cull pad override
                                  # (tiles); band-sharded rendering widens it
@@ -296,6 +304,7 @@ def build_keys(raw: RawAttrs, radius, invalid_mask, camera: Camera,
         camera.width, camera.height, cfg.tile_size, cfg.key_cap,
         cfg.depth_to_sort_key_scale, attr_cols=sg(attr_cols),
         rgb_only=cfg.rgb_only, exact_tile_cull=cfg.exact_tile_cull,
+        candidate_mode=cfg.candidate_mode, cand_scale=cfg.cand_scale,
         interpret=cfg.interpret,
     )
     return keys, table, visible

@@ -123,6 +123,11 @@ class TileKeys(NamedTuple):
     offsets: jnp.ndarray      # (N,) int32 exclusive cumsum of per-point counts
     counts: jnp.ndarray       # (N,) int32 per-point key counts (masked)
     total: jnp.ndarray        # () int32 true number of keys (may exceed cap)
+    cand_scale_req: jnp.ndarray = None  # () int32 candidate-window scale
+                              # direct mode would need for this frame (probe
+                              # it with partition mode, then pass as
+                              # cand_scale; overflow drops keys like
+                              # key_cap overflow does)
 
 
 def _depth_bits(num_tiles: int) -> int:
@@ -144,6 +149,8 @@ def build_tile_keys_and_table(
     attr_cols: Optional[jnp.ndarray] = None,
     rgb_only: bool = False,
     exact_tile_cull: bool = True,
+    candidate_mode: str = "partition",
+    cand_scale: int = 1,
     interpret: bool = False,
 ) -> Tuple[TileKeys, Optional[jnp.ndarray]]:
     """Expand visible splats into depth-sorted per-tile keys, and (when
@@ -190,42 +197,68 @@ def build_tile_keys_and_table(
     # drops the depth column everywhere
     n_attr = 9 if (rgb_only and has_attrs) else 10
 
-    # Partition: key-owning points to a contiguous prefix (stable => their
-    # offsets stay non-decreasing), every column riding as payloads. Sort
-    # cost is ~linear in operand count, so the five int32 meta columns are
-    # packed into two (dkey|h and cnt|base) and the offsets column is
-    # recomputed after the sort: a stable partition preserves the owners'
-    # relative order, so the cumsum of partitioned counts reproduces the
-    # partitioned offsets exactly.
-    nt_bits = int(num_tiles + 1).bit_length()
-    assert dbits + 8 <= 31, "depth key must leave 8 bits for bbox height"
-    assert 2 * nt_bits <= 31, f"too many tiles to pack counts: {num_tiles}"
-    assert height // tile <= 255, "bbox height must fit 8 bits"
-    flag = jnp.where(counts > 0, 0, 1).astype(jnp.int32)
-    pk1 = (dkey_pt << 8) | h_pt
-    pk2 = (counts << nt_bits) | base_pt
-    pidx_payload = () if has_attrs else (jnp.arange(n, dtype=jnp.int32),)
-    parted = jax.lax.sort(
-        (flag, pk1, pk2) + pidx_payload
-        + tuple(att[i] for i in range(n_attr)),
-        num_keys=1, is_stable=True,
-    )
-    dkey_s = parted[1] >> 8
-    h_s = parted[1] & 255
-    cnt_s = parted[2] >> nt_bits
-    base_s = parted[2] & ((1 << nt_bits) - 1)
-    off_s = (jnp.cumsum(cnt_s.astype(jnp.float32)).astype(jnp.int32)
-             - cnt_s)
-
     wk = expand_mod.window_size(key_cap)
     nw = key_cap // wk
     al = expand_mod.ALIGN
     n_pad = max(((n + al - 1) // al) * al, al)
-    cand_cap = min(expand_mod.CAND_CAP, n_pad)
+    zcol = jnp.zeros((n,), jnp.float32)
+    pidx = jnp.arange(n, dtype=jnp.int32)
 
-    # candidate start per key window: #points whose first key precedes the
-    # window, minus one carry (points are intervals in key-slot space)
-    wid = jnp.where(cnt_s > 0, off_s // wk, nw)
+    if candidate_mode == "direct":
+        # Candidate columns stay in ORIGINAL point order: offsets are
+        # non-decreasing there too (cumsum over all points), so every key
+        # window's candidates still form one contiguous lane run — it just
+        # interleaves zero-count lanes (empty membership intervals, inert
+        # in the one-hot matmul). Skips the N-length 12-operand partition
+        # sort at the cost of candidate windows spanning ~1/density more
+        # lanes; ``cand_scale`` (fitted from cand_scale_req) sizes them,
+        # and span overflow degrades to dropped keys via the kernel's
+        # owned-check, mirroring key_cap overflow semantics.
+        off_s, cnt_s = offsets, counts
+        dkey_s, base_s, h_s = dkey_pt, base_pt, h_pt
+        attr_srcs = [att[i] for i in range(n_attr)]
+        owning_n = jnp.ones((n,), bool)  # natural off on every real lane
+    else:
+        # Partition: key-owning points to a contiguous prefix (stable =>
+        # their offsets stay non-decreasing), every column riding as
+        # payloads. Sort cost is ~linear in operand count, so the five
+        # int32 meta columns are packed into two (dkey|h and cnt|base) and
+        # the offsets column is recomputed after the sort: a stable
+        # partition preserves the owners' relative order, so the cumsum of
+        # partitioned counts reproduces the partitioned offsets exactly.
+        nt_bits = int(num_tiles + 1).bit_length()
+        assert dbits + 8 <= 31, "depth key must leave 8 bits for bbox height"
+        assert 2 * nt_bits <= 31, f"too many tiles to pack counts: {num_tiles}"
+        assert height // tile <= 255, "bbox height must fit 8 bits"
+        flag = jnp.where(counts > 0, 0, 1).astype(jnp.int32)
+        pk1 = (dkey_pt << 8) | h_pt
+        pk2 = (counts << nt_bits) | base_pt
+        pidx_payload = () if has_attrs else (pidx,)
+        parted = jax.lax.sort(
+            (flag, pk1, pk2) + pidx_payload
+            + tuple(att[i] for i in range(n_attr)),
+            num_keys=1, is_stable=True,
+        )
+        dkey_s = parted[1] >> 8
+        h_s = parted[1] & 255
+        cnt_s = parted[2] >> nt_bits
+        base_s = parted[2] & ((1 << nt_bits) - 1)
+        off_s = (jnp.cumsum(cnt_s.astype(jnp.float32)).astype(jnp.int32)
+                 - cnt_s)
+        attr_srcs = [parted[i] for i in range(len(parted) - n_attr,
+                                              len(parted))]
+        if not has_attrs:
+            pidx = parted[3]
+        owning_n = cnt_s > 0
+
+    cand_cap = min(expand_mod.CAND_CAP * cand_scale, n_pad)
+
+    # candidate start per key window: #lanes whose first key precedes the
+    # window, minus one carry (points are intervals in key-slot space). In
+    # partition mode only key owners count (zero-count lanes carry
+    # PAD_OFF); in direct mode every real lane counts — the kernel's
+    # in-window reduction uses the same convention either way.
+    wid = jnp.where(owning_n, jnp.minimum(off_s // wk, nw), nw)
     hist = bucket_histogram(wid, nw, interpret=interpret)
     cum = jnp.concatenate([
         jnp.zeros((1,), jnp.int32),
@@ -234,27 +267,51 @@ def build_tile_keys_and_table(
     lo = jnp.clip(cum[:-1] - 1, 0, n_pad - cand_cap)
     lo = (lo // al) * al
 
-    zcol = jnp.zeros((n,), jnp.float32)
+    # Span diagnostic: the candidate-window scale DIRECT mode would need
+    # for this frame, at both granularities (inner csub sub-windows and
+    # the DMA'd cand_cap windows), from original-order offsets.
+    sub = min(expand_mod.SUBKEYS, wk)
+    nsub_tot = key_cap // sub
+    wid_sub = jnp.minimum(offsets // sub, nsub_tot)
+    cum_sub = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.cumsum(
+            bucket_histogram(wid_sub, nsub_tot, interpret=interpret)
+            .astype(jnp.float32)).astype(jnp.int32),
+    ])
+    span_sub = jnp.max(
+        cum_sub[1:] - jnp.maximum(cum_sub[:-1] - 1, 0)) + al
+    cum_win = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.cumsum(bucket_histogram(jnp.minimum(offsets // wk, nw), nw,
+                                    interpret=interpret)
+                   .astype(jnp.float32)).astype(jnp.int32),
+    ])
+    span_win = jnp.max(
+        cum_win[1:] - jnp.maximum(cum_win[:-1] - 1, 0)) + al
+    cand_scale_req = jnp.maximum(
+        (span_sub + expand_mod.CSUB - 1) // expand_mod.CSUB,
+        (span_win + expand_mod.CAND_CAP - 1) // expand_mod.CAND_CAP,
+    ).astype(jnp.int32)
+
     meta_cols = [off_s, cnt_s, dkey_s, base_s, h_s]
     if has_attrs:
         # pidx column unused downstream (row 10 of the table is dropped
         # before the key sort); attr columns beyond n_attr are zero-filled
-        cand_cols = (meta_cols + [zcol]
-                     + [parted[i] for i in range(3, 3 + n_attr)]
+        cand_cols = (meta_cols + [zcol] + attr_srcs
                      + [zcol] * (10 - n_attr))
     else:
-        cand_cols = (meta_cols + [parted[3]]
-                     + [parted[i] for i in range(4, 4 + n_attr)])
+        cand_cols = meta_cols + [pidx] + attr_srcs
     cand = jnp.stack(
         [c.astype(jnp.float32) for c in cand_cols], axis=0
     )  # (16, n) SoA: off, cnt, dkey, base, h, pidx, attrs...
     cand = jnp.pad(cand, ((0, 0), (0, n_pad - n)))
     # The kernel locates each sub-window's candidate run by counting lanes
-    # with off < window start, so non-key-owning lanes (the partitioned
-    # zero-count suffix and the n_pad padding) must sit ABOVE every real
-    # offset: give them a huge off (their cnt=0 already makes membership
-    # empty).
-    owning = jnp.pad(cnt_s > 0, (0, n_pad - n), constant_values=False)
+    # with off < window start; lanes that must not be counted (partition
+    # mode: the zero-count suffix; both modes: the n_pad padding) sit
+    # ABOVE every real offset via a huge off (their cnt=0 already makes
+    # membership empty).
+    owning = jnp.pad(owning_n, (0, n_pad - n), constant_values=False)
     cand = cand.at[0, :].set(
         jnp.where(owning, cand[0, :], expand_mod.PAD_OFF))
 
@@ -265,7 +322,8 @@ def build_tile_keys_and_table(
     fused, tbl = expand_mod.expand_keys(
         cand, lo, lim, key_cap=key_cap, tiles_u=tiles_u, tile=tile,
         dbits=dbits, num_tiles=num_tiles,
-        exact_cull=exact_tile_cull and has_attrs, interpret=interpret,
+        exact_cull=exact_tile_cull and has_attrs, cand_scale=cand_scale,
+        interpret=interpret,
     )
 
     # ONE sort: every table column rides as a payload. CRITICAL operand
@@ -320,6 +378,7 @@ def build_tile_keys_and_table(
         offsets=offsets,
         counts=counts,
         total=total,
+        cand_scale_req=cand_scale_req,
     )
     return keys, table
 

@@ -127,6 +127,46 @@ class TestTiling:
         assert int(jnp.sum(keys.tile_end - keys.tile_start)) == min(
             int(keys.total), 6144)
 
+    def test_direct_candidate_mode_matches_partition(self):
+        """Direct mode (no N-length partition sort) must reproduce the
+        partition path bit-for-bit at the fitted candidate scale, at both
+        high and low visibility density."""
+        import dataclasses
+        from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import (
+            build_keys, compute_raw_attrs,
+        )
+        xyz, feats, _ = make_scene(400, seed=9)
+        cam = make_camera(w=128, h=64)
+        rng = np.random.default_rng(2)
+        for invalid in (jnp.zeros((400,), bool),
+                        jnp.asarray(rng.random(400) > 0.06)):
+            base = RasterizerConfig(tile_size=32, key_cap=4096,
+                                    interpret=True)
+            raw, radius = compute_raw_attrs(xyz, feats, Q_ID, T_ID, cam)
+            keys_p, _, _ = build_keys(raw, radius, invalid, cam, base)
+            cfg_d = dataclasses.replace(
+                base, candidate_mode="direct",
+                cand_scale=int(keys_p.cand_scale_req))
+            out_p = rasterize(xyz, feats, invalid, Q_ID, T_ID, cam, base)
+            out_d = rasterize(xyz, feats, invalid, Q_ID, T_ID, cam, cfg_d)
+            np.testing.assert_array_equal(np.asarray(out_p.rgb),
+                                          np.asarray(out_d.rgb))
+            np.testing.assert_array_equal(np.asarray(out_p.count),
+                                          np.asarray(out_d.count))
+
+        # gradients flow through the same regroup/segment intervals in
+        # both modes (stable partition preserves owner offsets): exact
+        def loss(cfg):
+            def f(x, ft):
+                o = rasterize(x, ft, jnp.zeros((400,), bool), Q_ID, T_ID,
+                              cam, cfg)
+                return jnp.sum(o.rgb * o.rgb)
+            return jax.grad(f, argnums=(0, 1))(xyz, feats)
+        gp = loss(base)
+        gd = loss(cfg_d)
+        np.testing.assert_array_equal(np.asarray(gp[0]), np.asarray(gd[0]))
+        np.testing.assert_array_equal(np.asarray(gp[1]), np.asarray(gd[1]))
+
     def test_inverse_permutation(self):
         slots = jnp.asarray(RNG.permutation(256).astype(np.int32))
         inv = tiling.inverse_permutation(slots)
