@@ -131,7 +131,9 @@ def make_dp_train_step(config: TrainConfig, height: int, width: int,
                                pos_opt=pos_opt, ctrl=ctrl_state)
         metrics = {"loss": loss, "l1": l1, "ssim": ssim_v,
                    "psnr": train_psnr,
-                   "num_keys": jax.lax.pmax(ctx.keys.total, "data")}
+                   "num_keys": jax.lax.pmax(ctx.keys.total, "data"),
+                   "cand_scale_req": jax.lax.pmax(
+                       ctx.keys.cand_scale_req, "data")}
         # max-reduced per-point stats for the densify pass (union over cameras)
         frame_stats = {
             "in_camera": jax.lax.psum(vis, "data") > 0,

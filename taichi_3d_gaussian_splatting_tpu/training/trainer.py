@@ -150,6 +150,7 @@ def make_train_step(config: TrainConfig, height: int, width: int,
             "loss": loss, "l1": l1, "ssim": ssim_v,
             "psnr": psnr_fn(pred, image_gt),
             "num_keys": ctx.keys.total,
+            "cand_scale_req": ctx.keys.cand_scale_req,
         }
         aux = {
             "pred": pred, "depth": out.depth, "count": out.count,
@@ -272,6 +273,13 @@ class GaussianPointCloudTrainer:
         )
         self.best_psnr_score = 0.0
         self._key_cap = config.rasterisation_config.key_cap
+        rcfg = config.rasterisation_config
+        # 0 = partition mode; >0 = direct candidate mode at that window
+        # scale (skips the N-length partition sort in the train step).
+        # Refit continuously from the live cand_scale_req metric, like
+        # key_cap — span overflow has the same dropped-key semantics.
+        self._cand_scale = (rcfg.cand_scale
+                            if rcfg.candidate_mode == "direct" else 0)
         self._step_cache = {}
         self._eval_cache = {}
         self.mesh = None
@@ -287,15 +295,23 @@ class GaussianPointCloudTrainer:
 
     # -- step-fn caches (one compile per resolution x key-cap bucket) --------
 
-    def _active_config(self) -> TrainConfig:
+    def _active_config(self, with_candidate_mode: bool = False) -> TrainConfig:
         import dataclasses as _dc
 
         rcfg = _dc.replace(self.config.rasterisation_config,
                            key_cap=self._key_cap)
+        if with_candidate_mode:
+            # direct mode only in the train step; eval keeps the robust
+            # partition path (dropped keys there would skew reported PSNR)
+            rcfg = _dc.replace(
+                rcfg,
+                candidate_mode="direct" if self._cand_scale else "partition",
+                cand_scale=max(self._cand_scale, 1),
+            )
         return _dc.replace(self.config, rasterisation_config=rcfg)
 
     def _get_step(self, h: int, w: int, scan_steps: int = 0):
-        key = (h, w, self._key_cap, scan_steps)
+        key = (h, w, self._key_cap, scan_steps, self._cand_scale)
         if key not in self._step_cache:
             if self.mesh is not None:
                 from taichi_3d_gaussian_splatting_tpu.parallel.data_parallel import (
@@ -303,10 +319,12 @@ class GaussianPointCloudTrainer:
                 )
 
                 self._step_cache[key] = make_dp_train_step(
-                    self._active_config(), h, w, self.mesh)[0]
+                    self._active_config(with_candidate_mode=True), h, w,
+                    self.mesh)[0]
             else:
                 self._step_cache[key] = make_train_step(
-                    self._active_config(), h, w, scan_steps=scan_steps)
+                    self._active_config(with_candidate_mode=True), h, w,
+                    scan_steps=scan_steps)
         return self._step_cache[key]
 
     # -- scan-window scheduling ----------------------------------------------
@@ -371,6 +389,32 @@ class GaussianPointCloudTrainer:
             self._key_cap = want if grow else self._key_cap // 2
             print(f"key_cap -> {self._key_cap} (live keys {num_keys})")
 
+    def _maybe_refit_candidate_mode(self, req: int) -> None:
+        """Switch the train step between direct candidate mode (no
+        N-length partition sort) and partition mode, tracking the live
+        per-frame window-scale requirement. +1 headroom absorbs pose
+        jitter between checks; shrink hysteresis bounds recompiles."""
+        if req <= 0:
+            return
+        want = req + 1
+        cur = self._cand_scale
+        if want > 8:
+            new = 0  # too sparse for direct windows: partition fallback
+        elif cur == 0:
+            # enter direct mode only clear of the fallback cutoff, so a
+            # requirement hovering near 8 can't flap mode every check
+            if want > 6:
+                return
+            new = want
+        elif want > cur or want * 2 <= cur:
+            new = want
+        else:
+            return
+        if new != cur:
+            self._cand_scale = new
+            mode = f"direct(x{new})" if new else "partition"
+            print(f"candidate mode -> {mode} (live scale req {req})")
+
     # -- logging -------------------------------------------------------------
 
     def _scalar(self, tag: str, value, iteration: int):
@@ -411,6 +455,7 @@ class GaussianPointCloudTrainer:
             start_iteration = int(meta["iteration"]) + 1
             self.best_psnr_score = float(meta.get("best_psnr", 0.0))
             self._key_cap = int(meta.get("key_cap", self._key_cap))
+            self._cand_scale = int(meta.get("cand_scale", self._cand_scale))
             self.rng = jax.random.PRNGKey(int(meta.get("rng_seed",
                                                        config.seed)))
             print(f"resumed from {config.resume_from} at iteration "
@@ -569,6 +614,8 @@ class GaussianPointCloudTrainer:
             recent_losses.append(metrics["loss"])
             if iteration % 100 == 0:
                 self._maybe_rebucket_key_cap(int(metrics["num_keys"]))
+                self._maybe_refit_candidate_mode(
+                    int(metrics["cand_scale_req"]))
             if iteration % config.log_loss_interval == 0:
                 loss_val = float(metrics["loss"])
                 self._scalar("train/loss", loss_val, iteration)
@@ -737,6 +784,7 @@ class GaussianPointCloudTrainer:
                 {"iteration": iteration,
                  "best_psnr": self.best_psnr_score,
                  "key_cap": self._key_cap,
+                 "cand_scale": self._cand_scale,
                  "rng_seed": self.config.seed},
             )
         if mean_psnr > self.best_psnr_score:

@@ -201,6 +201,10 @@ class TestTrainerWiring:
         # validation checkpoint written
         assert os.path.exists(tmp_path / "logs" / "scene_3.parquet")
         assert os.path.exists(tmp_path / "logs" / "best_scene.parquet")
+        # the iteration-0 refit switched the train step into direct
+        # candidate mode (dense tiny scene => small window-scale req),
+        # so iterations 1-3 exercised the partition-sort-free path
+        assert trainer._cand_scale > 0
 
 
 class TestScanWindow:
