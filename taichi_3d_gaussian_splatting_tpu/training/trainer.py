@@ -155,6 +155,7 @@ def make_train_step(config: TrainConfig, height: int, width: int,
         aux = {
             "pred": pred, "depth": out.depth, "count": out.count,
             "stats": stats, "point_depth": ctx.raw.depth,
+            "point_uv": ctx.raw.uv,  # densify scatter overlays
         }
         return new_state, metrics, aux
 
@@ -562,6 +563,8 @@ class GaussianPointCloudTrainer:
                     "pred": jnp.zeros((h, w, 3), jnp.float32),
                     "depth": jnp.zeros((h, w), jnp.float32),
                     "count": jnp.zeros((h, w), jnp.float32),
+                    "point_uv": jnp.zeros(
+                        (state.scene.capacity, 2), jnp.float32),
                     "point_depth": frame_stats["point_depth"],
                     "stats": GradStats(
                         grad_uv=jnp.zeros((state.scene.capacity, 2)),
@@ -589,6 +592,7 @@ class GaussianPointCloudTrainer:
                     state.scene, state.ctrl, aux["stats"], aux["point_depth"],
                     k1, iteration > ccfg.iteration_start_remove_floater,
                 )
+                self._log_densify_scatter(info, aux, iteration)
                 new_scene, new_ctrl = self.densify_apply(state.scene, info, k2)
                 state = state._replace(scene=new_scene, ctrl=new_ctrl)
             if warm and iteration % ccfg.num_iterations_reset_alpha == 0:
@@ -679,6 +683,43 @@ class GaussianPointCloudTrainer:
 
         self.scene = state.scene
         return state
+
+    def _log_densify_scatter(self, info, aux, iteration: int) -> None:
+        """Densify selection overlay (reference controller :267-283 +
+        trainer :203-212): current prediction with image-space scatters of
+        the points selected this round — split (red), clone (green),
+        removed (blue)."""
+        if self.writer is None:
+            return
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return
+        uv = np.asarray(aux["point_uv"])
+        if not uv.any():  # data-parallel steps don't gather per-point uv
+            return
+        in_cam = np.asarray(aux["stats"].in_camera)
+        densify = np.asarray(info.densify_mask) & in_cam
+        over = np.asarray(info.over_mask)
+        remove = np.asarray(info.remove_mask) & in_cam
+        pred = np.asarray(aux["pred"])
+        h, w = pred.shape[:2]
+        fig, ax = plt.subplots(figsize=(6, 6 * h / max(w, 1)))
+        ax.imshow(np.clip(pred, 0, 1))
+        for mask, color, label in (
+                (densify & over, "red", "split"),
+                (densify & ~over, "green", "clone"),
+                (remove, "blue", "remove")):
+            pts = uv[mask]
+            if len(pts):
+                ax.scatter(pts[:, 0], pts[:, 1], s=2, c=color, label=label)
+        ax.set_xlim(0, w)
+        ax.set_ylim(h, 0)
+        ax.legend(loc="upper right", fontsize=6)
+        self.writer.add_figure("densify/selection", fig, iteration)
+        plt.close(fig)
 
     def _log_histograms(self, state, aux, iteration: int) -> None:
         """Parameter/gradient histograms (reference _plot_value_histogram /

@@ -206,6 +206,56 @@ class TestTrainerWiring:
         # so iterations 1-3 exercised the partition-sort-free path
         assert trainer._cand_scale > 0
 
+    def test_densify_scatter_logging(self, tiny_dataset):
+        """Densify selection overlays reach TensorBoard (reference
+        controller :267-283)."""
+        from taichi_3d_gaussian_splatting_tpu.training.trainer import (
+            GaussianPointCloudTrainer,
+        )
+        from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import GradStats
+
+        tmp_path, train_json, val_json, pq = tiny_dataset
+        config = from_dict({
+            "train_dataset_json_path": train_json,
+            "val_dataset_json_path": val_json,
+            "pointcloud_parquet_path": pq,
+            "summary_writer_log_dir": str(tmp_path / "logs_sc"),
+            "rasterisation_config": {
+                "tile_size": 32, "key_cap": 2048, "interpret": True,
+            },
+        })
+        trainer = GaussianPointCloudTrainer(config)
+        if trainer.writer is None:
+            pytest.skip("tensorboardX unavailable")
+        n = trainer.scene.capacity
+        rng = np.random.default_rng(0)
+        info = ctrl.DensifyInfo(
+            remove_mask=jnp.asarray(rng.random(n) < 0.1),
+            densify_mask=jnp.asarray(rng.random(n) < 0.3),
+            position_before=jnp.zeros((n, 3)),
+            size_reduction=jnp.zeros((n,)),
+            grad_position=jnp.zeros((n, 3)),
+            over_mask=jnp.asarray(rng.random(n) < 0.5),
+        )
+        aux = {
+            "pred": jnp.zeros((32, 32, 3)),
+            "point_uv": jnp.asarray(
+                rng.uniform(0, 32, (n, 2)).astype(np.float32)),
+            "stats": GradStats(
+                grad_uv=jnp.zeros((n, 2)),
+                magnitude_grad_viewspace=jnp.zeros((n,)),
+                num_affected_pixels=jnp.zeros((n,)),
+                num_overlap_tiles=jnp.zeros((n,), jnp.int32),
+                in_camera=jnp.ones((n,), bool),
+                magnitude_grad_viewspace_on_image=jnp.zeros((32, 32, 2)),
+            ),
+        }
+        trainer._log_densify_scatter(info, aux, 7)
+        trainer.writer.close()  # flush() alone doesn't drain figure events
+        ev = [f for f in os.listdir(tmp_path / "logs_sc")
+              if "tfevents" in f]
+        assert ev and os.path.getsize(tmp_path / "logs_sc" / ev[0]) > 1000
+
 
 class TestScanWindow:
     def test_windowed_matches_single_step(self):
