@@ -90,14 +90,18 @@ def main():
     # 1.3 to ride out camera motion between re-bucketing checks)
     cap = fit_key_cap(int(keys.total), headroom=1.0)
     # direct candidate mode when the fitted window scale is modest: skips
-    # the N-length partition sort entirely (exact at the fitted scale)
+    # the N-length partition sort entirely (exact at the fitted scale;
+    # static scene + fixed pose, so no jitter headroom needed). The req is
+    # only measured for windows existing at the probe's key_cap, and
+    # partition mode must keep cand_scale=1 (window/VMEM sizing).
     scale = int(keys.cand_scale_req)
-    mode = "direct" if scale <= 8 else "partition"
+    direct = 0 < scale <= 8 and int(keys.total) <= probe_cfg.key_cap
     # rgb_only matches the reference benchmark protocol
     # (benchmark/inference_benchmark.py uses the rgb-only rasterizer)
     cfg = RasterizerConfig(tile_size=32, key_cap=cap, interpret=interpret,
                            extra_info=False, rgb_only=True,
-                           candidate_mode=mode, cand_scale=scale)
+                           candidate_mode="direct" if direct else "partition",
+                           cand_scale=scale if direct else 1)
 
     @jax.jit
     def timed_chain(x, f):

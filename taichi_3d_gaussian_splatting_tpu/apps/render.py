@@ -96,12 +96,18 @@ class GaussianPointRenderer:
         camera = Camera(K=self.K, width=w, height=h)
         scene = self.scene
         cap, scale = self._fit_cap(camera)
-        # direct candidate mode skips the N-length partition sort; exact at
-        # the probed scale, so only use it when the scale stays modest
-        # (sparse scenes would need huge candidate windows)
-        mode = "direct" if scale <= 8 else "partition"
+        # direct candidate mode skips the N-length partition sort; the
+        # probed scale gets +1 headroom (poses between the probe stride may
+        # need one more window step). Fall back to partition when the scale
+        # is large (sparse scenes would need huge candidate windows) or the
+        # probe overflowed its own key_cap (scale unmeasurable there) —
+        # and then keep cand_scale=1 so the expand kernel's windows and
+        # VMEM scratch stay at their normal size.
+        scale += 1
+        mode = "direct" if 0 < scale <= 8 else "partition"
         self.rcfg = dataclasses.replace(
-            self.rcfg, key_cap=cap, candidate_mode=mode, cand_scale=scale)
+            self.rcfg, key_cap=cap, candidate_mode=mode,
+            cand_scale=scale if mode == "direct" else 1)
 
         def render_one(q, t):
             out = rasterize(
@@ -140,7 +146,12 @@ class GaussianPointRenderer:
         probes = [count_keys(qs[i], ts[i])
                   for i in range(0, self.poses.shape[0], stride)]
         worst = max(int(t) for t, _ in probes)
-        scale = max(int(s) for _, s in probes)
+        # scale req is only measured for key windows that exist at the
+        # probe's key_cap; a pose overflowing it leaves tail windows
+        # unmeasured — signal "unmeasurable" (-1) so the caller falls back
+        # to partition mode
+        scale = (max(int(s) for _, s in probes)
+                 if worst <= probe_cfg.key_cap else -1)
         return fit_key_cap(worst, headroom=1.15), scale
 
     def frames(self):

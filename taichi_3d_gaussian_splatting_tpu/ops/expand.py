@@ -36,9 +36,14 @@ sentinel shrinks every tile's blend range (~15-25% of live keys on
 typical scenes) with output-identical results.
 
 Candidate layout (16, n_pad) f32 SoA (minor dim = points: Mosaic requires
-128-lane-aligned slices, so the point axis must be the lane axis),
-partitioned (count>0 prefix, original relative order preserved — offsets
-stay non-decreasing):
+128-lane-aligned slices, so the point axis must be the lane axis). The
+kernel's actual invariant is only that real lanes' offsets are
+NON-DECREASING and zero-count lanes are inert (empty membership interval;
+lanes excluded from window-start counting carry PAD_OFF). Partition mode
+satisfies it with a count>0 prefix (original relative order preserved);
+direct candidate mode keeps original point order, interleaving zero-count
+lanes into the runs (see tiling.py) — do not assume PAD_OFF on every
+cnt==0 lane. Rows:
   row 0 off (first key slot)   1 cnt (covered tiles)  2 dkey (depth key)
   row 3 base (first tile id)   4 h (bbox tile height) 5 pidx (pool slot)
   rows 6..15: u, v, conic_a, conic_b, conic_c, log(rescale*opacity),
@@ -245,7 +250,9 @@ def _expand_kernel(
 
 
 def expand_keys(
-    cand: jnp.ndarray,     # (16, n_pad) f32 partitioned candidate columns
+    cand: jnp.ndarray,     # (16, n_pad) f32 candidate columns (real lanes'
+                           # offsets non-decreasing, zero-count lanes
+                           # inert — see module header)
     lo: jnp.ndarray,       # (nw,) int32 128-aligned window candidate starts
     lim: jnp.ndarray,      # (2,) int32 [min(total, cap), sentinel]
     *, key_cap: int, tiles_u: int, tile: int, dbits: int, num_tiles: int,

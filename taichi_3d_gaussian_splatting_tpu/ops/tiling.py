@@ -281,12 +281,17 @@ def build_tile_keys_and_table(
     ])
     span_sub = jnp.max(
         cum_sub[1:] - jnp.maximum(cum_sub[:-1] - 1, 0)) + al
-    cum_win = jnp.concatenate([
-        jnp.zeros((1,), jnp.int32),
-        jnp.cumsum(bucket_histogram(jnp.minimum(offsets // wk, nw), nw,
-                                    interpret=interpret)
-                   .astype(jnp.float32)).astype(jnp.int32),
-    ])
+    if candidate_mode == "direct":
+        # wid above already is min(offsets // wk, nw) in direct mode
+        # (original order, every real lane owning) — reuse its cumsum
+        cum_win = cum
+    else:
+        cum_win = jnp.concatenate([
+            jnp.zeros((1,), jnp.int32),
+            jnp.cumsum(bucket_histogram(jnp.minimum(offsets // wk, nw), nw,
+                                        interpret=interpret)
+                       .astype(jnp.float32)).astype(jnp.int32),
+        ])
     span_win = jnp.max(
         cum_win[1:] - jnp.maximum(cum_win[:-1] - 1, 0)) + al
     cand_scale_req = jnp.maximum(

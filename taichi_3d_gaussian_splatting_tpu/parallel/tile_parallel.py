@@ -79,8 +79,12 @@ def rasterize_band_sharded(
     )
     band_h = camera.height // n_dev
     tiles_v_total = camera.height // tile
+    # always the partition candidate path: per-band key density is ~1/n_dev
+    # of the full frame any direct-mode cand_scale was probed on, so an
+    # inherited direct config would silently drop keys in every band
     cfg_band = dataclasses.replace(
-        cfg, cull_pad_v_tiles=tiles_v_total + 3)
+        cfg, cull_pad_v_tiles=tiles_v_total + 3,
+        candidate_mode="partition", cand_scale=1)
 
     def per_device(xyz, feats, inval, q, t, K):
         idx = jax.lax.axis_index(axis)

@@ -309,6 +309,10 @@ class GaussianPointCloudTrainer:
                 candidate_mode="direct" if self._cand_scale else "partition",
                 cand_scale=max(self._cand_scale, 1),
             )
+        else:
+            # force it even if the user config says direct: the static
+            # config scale is never refit from the live requirement
+            rcfg = _dc.replace(rcfg, candidate_mode="partition", cand_scale=1)
         return _dc.replace(self.config, rasterisation_config=rcfg)
 
     def _get_step(self, h: int, w: int, scan_steps: int = 0):
@@ -375,11 +379,13 @@ class GaussianPointCloudTrainer:
             self._eval_cache[key] = make_eval_step(self._active_config(), h, w)
         return self._eval_cache[key]
 
-    def _maybe_rebucket_key_cap(self, num_keys: int) -> None:
+    def _maybe_rebucket_key_cap(self, num_keys: int) -> bool:
         """Grow/shrink the static key capacity to fit the live key count
-        (one recompile per bucket change; see fit_key_cap)."""
+        (one recompile per bucket change; see fit_key_cap). Returns True
+        when the cap GREW — the frame overflowed the old cap, so any span
+        diagnostic measured this round is incomplete."""
         if num_keys <= 0:
-            return
+            return False
         want = fit_key_cap(
             num_keys,
             minimum=min(2 ** 15, self.config.rasterisation_config.key_cap),
@@ -389,6 +395,7 @@ class GaussianPointCloudTrainer:
         if grow or shrink:
             self._key_cap = want if grow else self._key_cap // 2
             print(f"key_cap -> {self._key_cap} (live keys {num_keys})")
+        return grow
 
     def _maybe_refit_candidate_mode(self, req: int) -> None:
         """Switch the train step between direct candidate mode (no
@@ -617,9 +624,17 @@ class GaussianPointCloudTrainer:
             # device round-trip, which dominates step time on remote TPU)
             recent_losses.append(metrics["loss"])
             if iteration % 100 == 0:
-                self._maybe_rebucket_key_cap(int(metrics["num_keys"]))
-                self._maybe_refit_candidate_mode(
-                    int(metrics["cand_scale_req"]))
+                grew = self._maybe_rebucket_key_cap(int(metrics["num_keys"]))
+                if grew and self._cand_scale:
+                    # the scale req was measured under the old (overflowed)
+                    # cap, so the grown cap's tail windows are unmeasured:
+                    # partition until the next clean measurement (the cap
+                    # change recompiles the step anyway)
+                    self._cand_scale = 0
+                    print("candidate mode -> partition (key_cap grew)")
+                elif not grew:
+                    self._maybe_refit_candidate_mode(
+                        int(metrics["cand_scale_req"]))
             if iteration % config.log_loss_interval == 0:
                 loss_val = float(metrics["loss"])
                 self._scalar("train/loss", loss_val, iteration)
