@@ -54,10 +54,17 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 
 
 def make_dp_train_step(config: TrainConfig, height: int, width: int,
-                       mesh: Mesh):
+                       mesh: Mesh, scan_steps: int = 0):
     """Jitted data-parallel step over (B, H, W, 3) camera batches, B = mesh
     size. Single-device semantics: identical to trainer.make_train_step with
-    gradients averaged over the batch."""
+    gradients averaged over the batch.
+
+    With scan_steps > 0 the step consumes (S, B, ...) stacked batches and
+    runs S optimizer steps in ONE dispatch via lax.scan inside shard_map
+    (collectives run per scan iteration over ICI) — the multi-chip analogue
+    of trainer.make_train_step's dispatch windows, amortizing host round
+    trips through remote-TPU tunnels. Metrics come back stacked (S,);
+    frame_stats reflect the LAST step (what the densifier consumes)."""
     rcfg = config.rasterisation_config
     lcfg = config.loss_function_config
     feature_tx, position_tx = make_optimizers(config)
@@ -146,10 +153,34 @@ def make_dp_train_step(config: TrainConfig, height: int, width: int,
         }
         return new_state, metrics, frame_stats
 
+    def per_device_scanned(state, images, qs, ts, Ks, sh_band):
+        # per-device shapes (S, 1, ...): scan over the window axis
+        def body(carry, xs):
+            img, q, t, K = xs
+            new_state, metrics, fs = per_device(carry[0], img, q, t, K,
+                                                sh_band)
+            return (new_state, fs), metrics
+
+        fs0 = jax.eval_shape(
+            lambda st: per_device(st, images[0], qs[0], ts[0], Ks[0],
+                                  sh_band)[2],
+            state,
+        )
+        fs0 = jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), fs0)
+        (new_state, fs), metrics = jax.lax.scan(
+            body, (state, fs0), (images, qs, ts, Ks), length=scan_steps
+        )
+        return new_state, metrics, fs
+
     replicated = P()
-    batched = P("data")
+    if scan_steps > 0:
+        batched = P(None, "data")  # (S, B, ...): shard the batch axis
+        entry = per_device_scanned
+    else:
+        batched = P("data")
+        entry = per_device
     sharded_step = shard_map(
-        per_device, mesh=mesh,
+        entry, mesh=mesh,
         in_specs=(replicated, batched, batched, batched, batched, replicated),
         out_specs=(replicated, replicated, replicated),
         check_vma=False,
@@ -157,9 +188,10 @@ def make_dp_train_step(config: TrainConfig, height: int, width: int,
     return jax.jit(sharded_step, donate_argnums=(0,)), mesh
 
 
-def shard_batch(mesh: Mesh, *arrays):
-    """Place per-camera arrays with the batch axis over the mesh."""
-    sharding = NamedSharding(mesh, P("data"))
+def shard_batch(mesh: Mesh, *arrays, batch_axis: int = 0):
+    """Place per-camera arrays with the batch axis over the mesh
+    (batch_axis=1 for (S, B, ...) dispatch-window stacks)."""
+    sharding = NamedSharding(mesh, P(*([None] * batch_axis + ["data"])))
     return tuple(jax.device_put(a, sharding) for a in arrays)
 
 

@@ -325,7 +325,7 @@ class GaussianPointCloudTrainer:
 
                 self._step_cache[key] = make_dp_train_step(
                     self._active_config(with_candidate_mode=True), h, w,
-                    self.mesh)[0]
+                    self.mesh, scan_steps=scan_steps)[0]
             else:
                 self._step_cache[key] = make_train_step(
                     self._active_config(with_candidate_mode=True), h, w,
@@ -362,7 +362,7 @@ class GaussianPointCloudTrainer:
 
     def _window_size(self, iteration: int) -> int:
         spd = max(self.config.steps_per_dispatch, 1)
-        if spd == 1 or self.mesh is not None:
+        if spd == 1:
             return 1
         if iteration + spd > self.config.num_iterations:
             return 1
@@ -487,10 +487,10 @@ class GaussianPointCloudTrainer:
                 downsample_factor //= 2
 
             window = self._window_size(iteration)
-            batch_size = (self.mesh.devices.size if self.mesh is not None
-                          else window)
+            per_step = (self.mesh.devices.size if self.mesh is not None
+                        else 1)
             items = []
-            for _ in range(batch_size):
+            for _ in range(per_step * window):
                 item = next(data_iter)
                 if downsample_factor > 1:
                     item = downsample_item(item, downsample_factor, tile)
@@ -499,7 +499,7 @@ class GaussianPointCloudTrainer:
             h, w = item.camera_info.camera_height, item.camera_info.camera_width
             if any((it.camera_info.camera_height,
                     it.camera_info.camera_width) != (h, w) for it in items):
-                items = items[-1:]
+                items = items[-per_step:]
                 window = 1
             sh_band = iteration // config.increase_color_max_sh_band_interval
 
@@ -516,20 +516,8 @@ class GaussianPointCloudTrainer:
                         [it.camera_info.camera_intrinsics for it in items])),
                     jnp.asarray(sh_band, jnp.int32),
                 )
-                # emit interior log points from the stacked metrics
-                for d in range(window - 1):
-                    k = iteration + d
-                    row = {key: v[d] for key, v in metrics_stacked.items()}
-                    recent_losses.append(row["loss"])
-                    if k % config.log_loss_interval == 0:
-                        self._scalar("train/loss", float(row["loss"]), k)
-                        self._scalar("train/l1 loss", float(row["l1"]), k)
-                        self._scalar("train/ssim loss",
-                                     1.0 - float(row["ssim"]), k)
-                    if k % config.log_metrics_interval == 0:
-                        self._scalar("train/psnr", float(row["psnr"]), k)
-                        self._scalar("train/ssim", float(row["ssim"]), k)
-                metrics = {key: v[-1] for key, v in metrics_stacked.items()}
+                metrics = self._emit_window_metrics(
+                    metrics_stacked, iteration, window, recent_losses)
                 iteration += window - 1
             elif self.mesh is None:
                 step = self._get_step(h, w)
@@ -542,7 +530,8 @@ class GaussianPointCloudTrainer:
                     jnp.asarray(sh_band, jnp.int32),
                 )
             else:
-                step = self._get_step(h, w)
+                step = self._get_step(
+                    h, w, scan_steps=window if window > 1 else 0)
                 from taichi_3d_gaussian_splatting_tpu.parallel.data_parallel import (
                     shard_batch,
                 )
@@ -551,16 +540,28 @@ class GaussianPointCloudTrainer:
                     (it.camera_info.camera_height,
                      it.camera_info.camera_width) == (h, w) for it in items
                 ), "data-parallel batches need uniform camera resolution"
-                imgs, qs, ts, Ks = shard_batch(
-                    self.mesh,
+                stacked = (
                     np.stack([it.image for it in items]),
                     np.stack([it.q_pointcloud_camera for it in items]),
                     np.stack([it.t_pointcloud_camera for it in items]),
                     np.stack([it.camera_info.camera_intrinsics
                               for it in items]),
                 )
+                if window > 1:
+                    # (S*B, ...) -> (S, B, ...): step s consumes cameras
+                    # items[s*B:(s+1)*B]
+                    stacked = tuple(
+                        a.reshape((window, per_step) + a.shape[1:])
+                        for a in stacked)
+                imgs, qs, ts, Ks = shard_batch(
+                    self.mesh, *stacked,
+                    batch_axis=1 if window > 1 else 0)
                 state, metrics, frame_stats = step(
                     state, imgs, qs, ts, Ks, jnp.asarray(sh_band, jnp.int32))
+                if window > 1:
+                    metrics = self._emit_window_metrics(
+                        metrics, iteration, window, recent_losses)
+                    iteration += window - 1
                 from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import (
                     GradStats,
                 )
@@ -698,6 +699,24 @@ class GaussianPointCloudTrainer:
 
         self.scene = state.scene
         return state
+
+    def _emit_window_metrics(self, metrics_stacked, iteration: int,
+                             window: int, recent_losses) -> dict:
+        """Emit interior log points from a dispatch window's stacked
+        metrics; returns the last step's metrics row."""
+        config = self.config
+        for d in range(window - 1):
+            k = iteration + d
+            row = {key: v[d] for key, v in metrics_stacked.items()}
+            recent_losses.append(row["loss"])
+            if k % config.log_loss_interval == 0:
+                self._scalar("train/loss", float(row["loss"]), k)
+                self._scalar("train/l1 loss", float(row["l1"]), k)
+                self._scalar("train/ssim loss", 1.0 - float(row["ssim"]), k)
+            if k % config.log_metrics_interval == 0:
+                self._scalar("train/psnr", float(row["psnr"]), k)
+                self._scalar("train/ssim", float(row["ssim"]), k)
+        return {key: v[-1] for key, v in metrics_stacked.items()}
 
     def _log_densify_scatter(self, info, aux, iteration: int) -> None:
         """Densify selection overlay (reference controller :267-283 +

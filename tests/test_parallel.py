@@ -136,6 +136,59 @@ class TestDataParallel:
             float(m2["loss"]), (float(ma["loss"]) + float(mb["loss"])) / 2,
             rtol=1e-5)
 
+    def test_scan_window_matches_sequential_dp_steps(self):
+        """A 2-step dispatch window (lax.scan inside shard_map) must replay
+        the same math as two sequential dp dispatches."""
+        config = make_config()
+        rng = np.random.default_rng(5)
+        imgs4 = [rng.random((HW, HW, 3)).astype(np.float32)
+                 for _ in range(4)]
+        ts4 = [np.zeros(3, np.float32),
+               np.asarray([0.1, 0.0, -0.2], np.float32),
+               np.asarray([-0.1, 0.05, 0.1], np.float32),
+               np.zeros(3, np.float32)]
+
+        mesh = make_mesh(2)
+        sh3 = jnp.asarray(3, jnp.int32)
+
+        # sequential: two dispatches of B=2
+        dp, _ = make_dp_train_step(config, HW, HW, mesh)
+        state = replicate(mesh, init_state(config, make_scene(seed=7)))
+        metrics_seq = []
+        for s in range(2):
+            b = shard_batch(
+                mesh, *batch(imgs4[2 * s:2 * s + 2], [Q_ID, Q_ID],
+                             ts4[2 * s:2 * s + 2], [K32, K32]))
+            state, m, fs_seq = dp(state, *b, sh3)
+            metrics_seq.append(m)
+
+        # windowed: one dispatch of (S=2, B=2)
+        dpw, _ = make_dp_train_step(config, HW, HW, mesh, scan_steps=2)
+        statew = replicate(mesh, init_state(config, make_scene(seed=7)))
+        stacked = batch(imgs4, [Q_ID] * 4, ts4, [K32] * 4)
+        stacked = tuple(a.reshape((2, 2) + a.shape[1:]) for a in stacked)
+        bw = shard_batch(mesh, *stacked, batch_axis=1)
+        statew, mw, fs_win = dpw(statew, *bw, sh3)
+
+        for s in range(2):
+            np.testing.assert_allclose(
+                float(mw["loss"][s]), float(metrics_seq[s]["loss"]),
+                rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(statew.scene.features),
+            np.asarray(state.scene.features), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(statew.scene.xyz), np.asarray(state.scene.xyz),
+            atol=1e-7)
+        # controller accumulators carried across the window
+        np.testing.assert_allclose(
+            np.asarray(statew.ctrl.num_in_camera),
+            np.asarray(state.ctrl.num_in_camera))
+        # frame_stats reflect the LAST scan step
+        np.testing.assert_allclose(
+            np.asarray(fs_win["in_camera"]),
+            np.asarray(fs_seq["in_camera"]))
+
 
 class TestTrainerDP:
     def test_trainer_runs_data_parallel(self, tmp_path):
@@ -177,6 +230,7 @@ class TestTrainerDP:
             "val_interval": 2,
             "initial_downsample_factor": 1,
             "data_parallel_devices": 2,
+            "steps_per_dispatch": 2,  # dp dispatch windows (lax.scan)
             "save_full_checkpoint": False,
             "rasterisation_config": {
                 "tile_size": 32, "key_cap": 2048, "interpret": True,
