@@ -374,17 +374,31 @@ class RenderContext(NamedTuple):
 def rasterize_fwd_ctx(
     xyz, features, invalid_mask, q_pointcloud_camera, t_pointcloud_camera,
     camera: Camera, cfg: RasterizerConfig, sh_max_band=3,
-    point_object_id=None,
+    point_object_id=None, with_pose_grads: bool = False,
 ):
-    """Forward pass returning the output plus residuals for rasterize_bwd."""
+    """Forward pass returning the output plus residuals for rasterize_bwd.
 
-    def attrs_fn(x, f):
-        return compute_raw_attrs(
-            x, f, q_pointcloud_camera, t_pointcloud_camera, camera,
-            sh_max_band, point_object_id,
-        )
+    With ``with_pose_grads`` the saved vjp also produces cotangents for
+    (q, t) — rasterize_bwd then returns a 4-tuple (d_xyz, d_features,
+    d_q, d_t) instead of a pair (camera pose refinement)."""
 
-    (raw, radius), attrs_vjp = jax.vjp(attrs_fn, xyz, features)
+    if with_pose_grads:
+        def attrs_fn(x, f, q, t):
+            return compute_raw_attrs(
+                x, f, q, t, camera, sh_max_band, point_object_id,
+            )
+
+        (raw, radius), attrs_vjp = jax.vjp(
+            attrs_fn, xyz, features, q_pointcloud_camera,
+            t_pointcloud_camera)
+    else:
+        def attrs_fn(x, f):
+            return compute_raw_attrs(
+                x, f, q_pointcloud_camera, t_pointcloud_camera, camera,
+                sh_max_band, point_object_id,
+            )
+
+        (raw, radius), attrs_vjp = jax.vjp(attrs_fn, xyz, features)
     keys, table, visible = build_keys(raw, radius, invalid_mask, camera, cfg)
     tile = cfg.tile_size
     grid_hw = (camera.width // tile, camera.height // tile)
@@ -401,10 +415,12 @@ def rasterize_bwd(
 ):
     """Manual backward from the image cotangent to parameter gradients.
 
-    Returns ((d_xyz, d_features), GradStats). Matches the gradient semantics
-    of the reference backward (:1025-1163) except that grad-factor scaling
-    and SH-band masking are applied by the trainer (optax transform / the
-    forward band mask respectively).
+    Returns (grads, GradStats) where grads is (d_xyz, d_features) — or
+    (d_xyz, d_features, d_q, d_t) when the ctx was built with
+    with_pose_grads. Matches the gradient semantics of the reference
+    backward (:1025-1163) except that grad-factor scaling and SH-band
+    masking are applied by the trainer (optax transform / the forward band
+    mask respectively).
     """
     tile = cfg.tile_size
     tiles_x = camera.width // tile
@@ -414,7 +430,7 @@ def rasterize_bwd(
         ctx.raw, ctx.keys, ctx.table, ctx.out_tiles, d_rgb_tiles, tile,
         (tiles_x, tiles_y), cfg,
     )
-    d_xyz, d_features = attrs_vjp(
+    grads = attrs_vjp(
         (d_raw, jnp.zeros((ctx.raw.depth.shape[0], 2), jnp.float32)))
     stats = GradStats(
         grad_uv=d_raw.uv,
@@ -426,4 +442,4 @@ def rasterize_bwd(
             imggrad_tiles, tiles_x, tiles_y, tile
         ),
     )
-    return (d_xyz, d_features), stats
+    return grads, stats

@@ -101,6 +101,21 @@ def quaternion_conjugate(q: jnp.ndarray) -> jnp.ndarray:
     return q * jnp.asarray([-1.0, -1.0, -1.0, 1.0], dtype=q.dtype)
 
 
+def quaternion_exp(omega: jnp.ndarray) -> jnp.ndarray:
+    """so(3) exponential map: axis-angle (3,) -> unit quaternion xyzw.
+
+    q = [sin(|w|/2) * w/|w|, cos(|w|/2)], with a 2nd-order Taylor branch
+    near zero so both the value and its jax.grad are exact at w = 0
+    (used by camera pose refinement, where deltas start at exactly 0)."""
+    t2 = jnp.sum(omega * omega, axis=-1, keepdims=True)
+    theta = jnp.sqrt(jnp.maximum(t2, 1e-24))  # guarded: unused branch only
+    small = t2 < 1e-12
+    s = jnp.where(small, 0.5 - t2 / 48.0, jnp.sin(0.5 * theta) / theta)
+    c = jnp.where(small[..., 0], 1.0 - t2[..., 0] / 8.0,
+                  jnp.cos(0.5 * theta[..., 0]))
+    return jnp.concatenate([s * omega, c[..., None]], axis=-1)
+
+
 def quaternion_rotate(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Rotate vectors v (..., 3) by quaternions q (..., 4) xyzw.
 

@@ -65,6 +65,8 @@ def make_dp_train_step(config: TrainConfig, height: int, width: int,
     of trainer.make_train_step's dispatch windows, amortizing host round
     trips through remote-TPU tunnels. Metrics come back stacked (S,);
     frame_stats reflect the LAST step (what the densifier consumes)."""
+    if config.pose_refinement:
+        raise ValueError("pose_refinement is single-device only")
     rcfg = config.rasterisation_config
     lcfg = config.loss_function_config
     feature_tx, position_tx = make_optimizers(config)

@@ -82,6 +82,12 @@ class TrainConfig:
     jax_profiler_start_iteration: int = 200
     jax_profiler_num_iterations: int = 20
     data_parallel_devices: int = 1         # cameras sharded across a mesh
+    # camera pose refinement (the reference's open TODO, README.md:318 —
+    # it declares pose grads but never computes them; we optimize a
+    # per-train-image se(3) delta jointly with the scene)
+    pose_refinement: bool = False
+    pose_learning_rate: float = 1e-4
+    pose_refinement_warm_up: int = 500     # iterations before poses move
 
 
 _NESTED = {

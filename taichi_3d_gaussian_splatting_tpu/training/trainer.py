@@ -68,8 +68,13 @@ def grad_factor_vector(cfg: RasterizerConfig) -> np.ndarray:
 
 
 class TrainState(collections.namedtuple(
-        "TrainState", ["scene", "feat_opt", "pos_opt", "ctrl"])):
-    """Device-resident training state pytree."""
+        "TrainState", ["scene", "feat_opt", "pos_opt", "ctrl",
+                       "pose_deltas", "pose_opt"],
+        defaults=(None, None))):
+    """Device-resident training state pytree.
+
+    ``pose_deltas`` ((num_train_images, 6) se(3): omega xyz, dt xyz) and
+    ``pose_opt`` are populated only under ``config.pose_refinement``."""
 
 
 def make_optimizers(config: TrainConfig):
@@ -98,13 +103,33 @@ def make_train_step(config: TrainConfig, height: int, width: int,
     lcfg = config.loss_function_config
     feature_tx, position_tx = make_optimizers(config)
     gf = jnp.asarray(grad_factor_vector(rcfg))
+    pose_refine = config.pose_refinement
+    pose_tx = optax.adam(config.pose_learning_rate) if pose_refine else None
 
-    def step(state: TrainState, image_gt, q, t, K, sh_band):
+    def step(state: TrainState, image_gt, q, t, K, sh_band, img_idx=None):
         scene = state.scene
         camera = Camera(K=K, width=width, height=height)
+        if pose_refine:
+            # img_idx < 0 disables refinement for this step (warm-up)
+            on = img_idx >= 0
+            idx = jnp.maximum(img_idx, 0)
+            delta = jnp.where(on, state.pose_deltas[idx], 0.0)
+
+            def pose_fn(d):
+                from taichi_3d_gaussian_splatting_tpu.ops.transforms import (
+                    quaternion_exp, quaternion_multiply,
+                )
+                qq = quaternion_multiply(q.reshape(4), quaternion_exp(d[:3]))
+                qq = qq / jnp.linalg.norm(qq)
+                return qq, t.reshape(3) + d[3:]
+
+            (q_used, t_used), pose_vjp = jax.vjp(pose_fn, delta)
+        else:
+            q_used, t_used = q, t
         out, ctx, attrs_vjp = rasterize_fwd_ctx(
-            scene.xyz, scene.features, scene.invalid, q, t, camera, rcfg,
-            sh_max_band=sh_band, point_object_id=scene.object_id,
+            scene.xyz, scene.features, scene.invalid, q_used, t_used,
+            camera, rcfg, sh_max_band=sh_band,
+            point_object_id=scene.object_id, with_pose_grads=pose_refine,
         )
         pred = jnp.clip(out.rgb, 0.0, 1.0)
 
@@ -122,9 +147,13 @@ def make_train_step(config: TrainConfig, height: int, width: int,
         pass_mask = jnp.logical_and(out.rgb > 0.0, out.rgb < 1.0)
         d_rgb = jnp.where(pass_mask, d_pred, 0.0)
 
-        (d_xyz, d_features), stats = rasterize_bwd(
+        grads, stats = rasterize_bwd(
             ctx, attrs_vjp, d_rgb, camera, rcfg
         )
+        if pose_refine:
+            d_xyz, d_features, d_q, d_t = grads
+        else:
+            d_xyz, d_features = grads
         d_features = d_features * gf[None, :] + d_feat_reg
 
         # never move invalid slots
@@ -139,13 +168,27 @@ def make_train_step(config: TrainConfig, height: int, width: int,
             xyz=optax.apply_updates(scene.xyz, pu),
         )
 
+        if pose_refine:
+            (d_delta,) = pose_vjp((d_q, d_t))
+            g = jnp.zeros_like(state.pose_deltas).at[idx].set(
+                jnp.where(on, d_delta, 0.0))
+            du, pose_opt = pose_tx.update(g, state.pose_opt)
+            # apply only the touched row: full-matrix Adam would otherwise
+            # keep moving every image's pose on stale momentum
+            row = jnp.logical_and(
+                jnp.arange(state.pose_deltas.shape[0]) == idx, on)[:, None]
+            pose_deltas = state.pose_deltas + jnp.where(row, du, 0.0)
+        else:
+            pose_deltas, pose_opt = state.pose_deltas, state.pose_opt
+
         ctrl_state = ctrl.accumulate(
             state.ctrl, stats.in_camera, stats.num_affected_pixels,
             stats.magnitude_grad_viewspace, d_xyz,
         )
 
         new_state = TrainState(scene=scene, feat_opt=feat_opt,
-                               pos_opt=pos_opt, ctrl=ctrl_state)
+                               pos_opt=pos_opt, ctrl=ctrl_state,
+                               pose_deltas=pose_deltas, pose_opt=pose_opt)
         metrics = {
             "loss": loss, "l1": l1, "ssim": ssim_v,
             "psnr": psnr_fn(pred, image_gt),
@@ -162,19 +205,30 @@ def make_train_step(config: TrainConfig, height: int, width: int,
     if scan_steps <= 0:
         return jax.jit(step, donate_argnums=(0,))
 
-    def scanned(state: TrainState, images, qs, ts, Ks, sh_band):
+    def scanned(state: TrainState, images, qs, ts, Ks, sh_band,
+                img_idxs=None):
         def body(carry, xs):
-            img, q, t, K = xs
-            new_state, metrics, aux = step(carry[0], img, q, t, K, sh_band)
+            if pose_refine:
+                img, q, t, K, idx = xs
+                new_state, metrics, aux = step(carry[0], img, q, t, K,
+                                               sh_band, idx)
+            else:
+                img, q, t, K = xs
+                new_state, metrics, aux = step(carry[0], img, q, t, K,
+                                               sh_band)
             return (new_state, aux), metrics
 
+        idx_xs = (img_idxs,) if pose_refine else ()
+        idx_a = (img_idxs[0],) if pose_refine else ()
         aux0 = jax.eval_shape(
-            lambda st: step(st, images[0], qs[0], ts[0], Ks[0], sh_band)[2],
+            lambda st: step(st, images[0], qs[0], ts[0], Ks[0], sh_band,
+                            *idx_a)[2],
             state,
         )
         aux0 = jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), aux0)
         (new_state, aux), metrics = jax.lax.scan(
-            body, (state, aux0), (images, qs, ts, Ks), length=scan_steps
+            body, (state, aux0), (images, qs, ts, Ks) + idx_xs,
+            length=scan_steps
         )
         return new_state, metrics, aux
 
@@ -284,6 +338,10 @@ class GaussianPointCloudTrainer:
         self._step_cache = {}
         self._eval_cache = {}
         self.mesh = None
+        if config.pose_refinement and config.data_parallel_devices > 1:
+            raise ValueError(
+                "pose_refinement is single-device only (per-image sparse "
+                "pose updates don't combine across a camera batch)")
         if config.data_parallel_devices > 1:
             from taichi_3d_gaussian_splatting_tpu.parallel.data_parallel import (
                 make_mesh,
@@ -446,11 +504,18 @@ class GaussianPointCloudTrainer:
         data_iter = iter(loader)
 
         feature_tx, position_tx = make_optimizers(config)
+        pose_deltas = pose_opt = None
+        if config.pose_refinement:
+            pose_deltas = jnp.zeros((len(self.train_dataset), 6),
+                                    jnp.float32)
+            pose_opt = optax.adam(config.pose_learning_rate).init(pose_deltas)
         state = TrainState(
             scene=self.scene,
             feat_opt=feature_tx.init(self.scene.features),
             pos_opt=position_tx.init(self.scene.xyz),
             ctrl=ctrl.init_state(self.scene.capacity),
+            pose_deltas=pose_deltas,
+            pose_opt=pose_opt,
         )
 
         start_iteration = 0
@@ -503,8 +568,19 @@ class GaussianPointCloudTrainer:
                 window = 1
             sh_band = iteration // config.increase_color_max_sh_band_interval
 
+            def pose_idx(it, k):
+                # -1 disables the pose update during warm-up
+                if k < config.pose_refinement_warm_up:
+                    return -1
+                return it.index
+
             if self.mesh is None and window > 1:
                 step = self._get_step(h, w, scan_steps=window)
+                extra = ()
+                if config.pose_refinement:
+                    extra = (jnp.asarray(
+                        [pose_idx(it, iteration + d)
+                         for d, it in enumerate(items)], jnp.int32),)
                 state, metrics_stacked, aux = step(
                     state,
                     jnp.asarray(np.stack([it.image for it in items])),
@@ -515,12 +591,17 @@ class GaussianPointCloudTrainer:
                     jnp.asarray(np.stack(
                         [it.camera_info.camera_intrinsics for it in items])),
                     jnp.asarray(sh_band, jnp.int32),
+                    *extra,
                 )
                 metrics = self._emit_window_metrics(
                     metrics_stacked, iteration, window, recent_losses)
                 iteration += window - 1
             elif self.mesh is None:
                 step = self._get_step(h, w)
+                extra = ()
+                if config.pose_refinement:
+                    extra = (jnp.asarray(pose_idx(item, iteration),
+                                         jnp.int32),)
                 state, metrics, aux = step(
                     state,
                     jnp.asarray(item.image),
@@ -528,6 +609,7 @@ class GaussianPointCloudTrainer:
                     jnp.asarray(item.t_pointcloud_camera),
                     jnp.asarray(item.camera_info.camera_intrinsics),
                     jnp.asarray(sh_band, jnp.int32),
+                    *extra,
                 )
             else:
                 step = self._get_step(

@@ -40,6 +40,21 @@ class TestQuaternions:
         sign = np.sign(np.sum(q2 * q, axis=-1, keepdims=True))
         np.testing.assert_allclose(q2 * sign, q, atol=1e-4)
 
+    def test_quaternion_exp_vs_scipy(self):
+        w = RNG.normal(size=(50, 3)).astype(np.float32) * 2.0
+        w[0] = 0.0  # exact-zero delta (the pose-refinement start point)
+        w[1] = 1e-8
+        ours = np.asarray(tf.quaternion_exp(jnp.asarray(w)))
+        ref = Rotation.from_rotvec(w).as_quat()  # xyzw
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+        # the gradient must be finite and exact at w = 0:
+        # d exp(w)[k] / d w[k] = 0.5 for the vector part
+        import jax
+        g = jax.jacobian(tf.quaternion_exp)(jnp.zeros(3))
+        np.testing.assert_allclose(np.asarray(g)[:3], 0.5 * np.eye(3),
+                                   atol=1e-7)
+        np.testing.assert_allclose(np.asarray(g)[3], 0.0, atol=1e-7)
+
     def test_quaternion_rotate_vs_scipy(self):
         q = random_quats(50)
         v = RNG.normal(size=(50, 3)).astype(np.float32)

@@ -91,6 +91,66 @@ class TestConvergence:
         late = np.mean(losses[-5:])
         assert late < 0.7 * early, f"{early} -> {late}"
 
+    def test_pose_refinement_recovers_perturbed_camera(self):
+        """With the scene frozen, optimizing the per-image se(3) delta must
+        undo a pose perturbation (the reference's open camera-pose TODO,
+        README.md:318 — it never computes pose grads)."""
+        from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import (
+            Camera, rasterize,
+        )
+        from taichi_3d_gaussian_splatting_tpu.ops.transforms import (
+            quaternion_exp, quaternion_multiply,
+        )
+
+        config = make_config(
+            pose_refinement=True, pose_learning_rate=5e-3,
+            feature_learning_rate=1e-8, position_learning_rate=1e-8,
+        )
+        scene = make_scene(seed=4)
+        cam = Camera(K=K32, width=32, height=32)
+        target = rasterize(
+            scene.xyz, scene.features, scene.invalid, Q_ID, T_ID, cam,
+            RCFG, sh_max_band=3,
+        ).rgb
+        target = jnp.clip(target, 0.0, 1.0)
+
+        w0 = jnp.asarray([0.02, -0.03, 0.01])
+        dt0 = jnp.asarray([0.02, -0.015, 0.03])
+        q_pert = quaternion_multiply(Q_ID, quaternion_exp(w0))
+
+        step = make_train_step(config, 32, 32)
+        ftx, ptx = make_optimizers(config)
+        import optax as _optax
+        deltas = jnp.zeros((1, 6), jnp.float32)
+        ptx_pose = _optax.adam(config.pose_learning_rate)
+        state = TrainState(
+            scene=scene, feat_opt=ftx.init(scene.features),
+            pos_opt=ptx.init(scene.xyz), ctrl=ctrl.init_state(scene.capacity),
+            pose_deltas=deltas, pose_opt=ptx_pose.init(deltas),
+        )
+        losses = []
+        for i in range(80):
+            state, metrics, _ = step(
+                state, target, q_pert, dt0, jnp.asarray(K32),
+                jnp.asarray(3, jnp.int32), jnp.asarray(0, jnp.int32),
+            )
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        assert np.mean(losses[-5:]) < 0.4 * np.mean(losses[:3]), losses[::10]
+        # the recovered delta undoes the perturbation: exp(d_w) ~ exp(-w0),
+        # d_t ~ -dt0 (coarse: Adam hasn't fully converged in 80 steps)
+        d = np.asarray(state.pose_deltas[0])
+        assert np.dot(d[:3], -np.asarray(w0)) > 0
+        assert np.dot(d[3:], -np.asarray(dt0)) > 0
+
+        # img_idx = -1 (warm-up) must leave the pose untouched
+        before = np.asarray(state.pose_deltas)
+        state, _, _ = step(
+            state, target, q_pert, dt0, jnp.asarray(K32),
+            jnp.asarray(3, jnp.int32), jnp.asarray(-1, jnp.int32),
+        )
+        np.testing.assert_array_equal(np.asarray(state.pose_deltas), before)
+
     def test_densify_roundtrip_in_loop(self):
         """Controller integration: densify+prune mid-training keeps the
         pool consistent and training alive (reference
