@@ -151,6 +151,38 @@ class TestConvergence:
         )
         np.testing.assert_array_equal(np.asarray(state.pose_deltas), before)
 
+        # a 2-step dispatch window must replay two sequential pose steps
+        def fresh_state():
+            d0 = jnp.zeros((1, 6), jnp.float32)
+            return TrainState(
+                scene=make_scene(seed=4),
+                feat_opt=ftx.init(scene.features),
+                pos_opt=ptx.init(scene.xyz),
+                ctrl=ctrl.init_state(scene.capacity),
+                pose_deltas=d0, pose_opt=ptx_pose.init(d0),
+            )
+
+        s_seq = fresh_state()
+        for _ in range(2):
+            s_seq, m_seq, _ = step(
+                s_seq, target, q_pert, dt0, jnp.asarray(K32),
+                jnp.asarray(3, jnp.int32), jnp.asarray(0, jnp.int32))
+        stepw = make_train_step(config, 32, 32, scan_steps=2)
+        s_win, m_win, _ = stepw(
+            fresh_state(),
+            jnp.stack([target, target]),
+            jnp.stack([q_pert, q_pert]),
+            jnp.stack([dt0, dt0]),
+            jnp.stack([jnp.asarray(K32)] * 2),
+            jnp.asarray(3, jnp.int32),
+            jnp.asarray([0, 0], jnp.int32),
+        )
+        np.testing.assert_allclose(float(m_win["loss"][1]),
+                                   float(m_seq["loss"]), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(s_win.pose_deltas), np.asarray(s_seq.pose_deltas),
+            atol=1e-7)
+
     def test_densify_roundtrip_in_loop(self):
         """Controller integration: densify+prune mid-training keeps the
         pool consistent and training alive (reference
