@@ -382,21 +382,28 @@ def rasterize_fwd_ctx(
     (q, t) — rasterize_bwd then returns a 4-tuple (d_xyz, d_features,
     d_q, d_t) instead of a pair (camera pose refinement)."""
 
+    # radius is consumed only by the (stop_gradient'd) tiling stage, so cut
+    # it out of the vjp: its Jacobian contains sqrt(0) = inf/NaN entries
+    # for perfectly isotropic splats on the optical axis (eigenvalue-gap
+    # term), and even a zero cotangent would propagate 0 * NaN = NaN into
+    # d_xyz / d_q / d_t.
     if with_pose_grads:
         def attrs_fn(x, f, q, t):
-            return compute_raw_attrs(
+            raw, radius = compute_raw_attrs(
                 x, f, q, t, camera, sh_max_band, point_object_id,
             )
+            return raw, jax.lax.stop_gradient(radius)
 
         (raw, radius), attrs_vjp = jax.vjp(
             attrs_fn, xyz, features, q_pointcloud_camera,
             t_pointcloud_camera)
     else:
         def attrs_fn(x, f):
-            return compute_raw_attrs(
+            raw, radius = compute_raw_attrs(
                 x, f, q_pointcloud_camera, t_pointcloud_camera, camera,
                 sh_max_band, point_object_id,
             )
+            return raw, jax.lax.stop_gradient(radius)
 
         (raw, radius), attrs_vjp = jax.vjp(attrs_fn, xyz, features)
     keys, table, visible = build_keys(raw, radius, invalid_mask, camera, cfg)

@@ -126,8 +126,30 @@ def make_train_step(config: TrainConfig, height: int, width: int,
             (q_used, t_used), pose_vjp = jax.vjp(pose_fn, delta)
         else:
             q_used, t_used = q, t
+        xyz_in, feats_in = scene.xyz, scene.features
+        if pose_refine:
+            # d_q/d_t are SUMS over pool slots, so invalid (zero-padded)
+            # rows' NaN Jacobians (zero-quat normalize, z=0 projection)
+            # would poison the pose gradient — the per-row `valid` mask
+            # below only rescues d_xyz/d_features. Give invalid slots
+            # inert inputs (identity quat, a point 1m in front of the
+            # camera); their cotangent rows are exactly zero (culled from
+            # every key), so values never matter.
+            from taichi_3d_gaussian_splatting_tpu.ops.transforms import (
+                quaternion_rotate,
+            )
+
+            inval_col = scene.invalid[:, None]
+            front = jax.lax.stop_gradient(
+                quaternion_rotate(q_used.reshape(4),
+                                  jnp.asarray([0.0, 0.0, 1.0]))
+                + t_used.reshape(3))
+            safe_row = jnp.concatenate(
+                [jnp.asarray([0.0, 0.0, 0.0, 1.0]), jnp.zeros((52,))])
+            xyz_in = jnp.where(inval_col, front[None, :], xyz_in)
+            feats_in = jnp.where(inval_col, safe_row[None, :], feats_in)
         out, ctx, attrs_vjp = rasterize_fwd_ctx(
-            scene.xyz, scene.features, scene.invalid, q_used, t_used,
+            xyz_in, feats_in, scene.invalid, q_used, t_used,
             camera, rcfg, sh_max_band=sh_band,
             point_object_id=scene.object_id, with_pose_grads=pose_refine,
         )
@@ -885,6 +907,38 @@ class GaussianPointCloudTrainer:
 
     # -- validation ------------------------------------------------------------
 
+    def _export_refined_poses(self, state: TrainState,
+                              iteration: int) -> None:
+        """Write the refined train poses (dataset pose composed with the
+        learned se(3) delta) as refined_poses.json next to the checkpoints —
+        a full dataset json (original records with T_pointcloud_camera
+        replaced) the render CLI and ImagePoseDataset consume directly."""
+        import json as _json
+
+        from taichi_3d_gaussian_splatting_tpu.ops.transforms import (
+            quaternion_exp, quaternion_multiply, se3_from_qt,
+        )
+
+        from taichi_3d_gaussian_splatting_tpu.data.dataset import _se3_to_qt
+
+        deltas = np.asarray(state.pose_deltas)
+        records = []
+        for i, rec in enumerate(self.train_dataset.records):
+            # pose straight from the record (no image load)
+            q_np, t_np = _se3_to_qt(
+                np.asarray(rec["T_pointcloud_camera"], np.float32))
+            q, t = jnp.asarray(q_np), jnp.asarray(t_np)
+            d = jnp.asarray(deltas[i])
+            qq = quaternion_multiply(q, quaternion_exp(d[:3]))
+            qq = qq / jnp.linalg.norm(qq)
+            T = np.asarray(se3_from_qt(qq, t + d[3:]))
+            out = dict(rec)
+            out["T_pointcloud_camera"] = T.tolist()
+            records.append(out)
+        path = os.path.join(self.output_model_dir, "refined_poses.json")
+        with open(path, "w") as f:
+            _json.dump(records, f)
+
     def _validate(self, state: TrainState, iteration: int) -> TrainState:
         config = self.config
         tile = config.rasterisation_config.tile_size
@@ -930,6 +984,8 @@ class GaussianPointCloudTrainer:
         scene_path = os.path.join(self.output_model_dir,
                                   f"scene_{iteration}.parquet")
         scene_lib.to_parquet(state.scene, scene_path)
+        if config.pose_refinement and state.pose_deltas is not None:
+            self._export_refined_poses(state, iteration)
         if config.save_full_checkpoint:
             from taichi_3d_gaussian_splatting_tpu.training.checkpoint import (
                 save_checkpoint,

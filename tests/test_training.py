@@ -106,7 +106,21 @@ class TestConvergence:
             pose_refinement=True, pose_learning_rate=5e-3,
             feature_learning_rate=1e-8, position_learning_rate=1e-8,
         )
-        scene = make_scene(seed=4)
+        # append zero-padded INVALID slots (the fixed-pool layout): their
+        # NaN Jacobians (zero-quat normalize, z=0 projection) must not
+        # poison the pose gradient, which sums over all pool slots
+        def build_padded(pad=16):
+            s = make_scene(seed=4)
+            return GaussianScene(
+                xyz=jnp.concatenate([s.xyz, jnp.zeros((pad, 3))]),
+                features=jnp.concatenate([s.features,
+                                          jnp.zeros((pad, 56))]),
+                invalid=jnp.concatenate([s.invalid, jnp.ones(pad, bool)]),
+                object_id=jnp.concatenate(
+                    [s.object_id, jnp.zeros(pad, jnp.int32)]),
+            )
+
+        scene = build_padded()
         cam = Camera(K=K32, width=32, height=32)
         target = rasterize(
             scene.xyz, scene.features, scene.invalid, Q_ID, T_ID, cam,
@@ -154,11 +168,12 @@ class TestConvergence:
         # a 2-step dispatch window must replay two sequential pose steps
         def fresh_state():
             d0 = jnp.zeros((1, 6), jnp.float32)
+            sc = build_padded()  # the outer scene's buffers were donated
             return TrainState(
-                scene=make_scene(seed=4),
-                feat_opt=ftx.init(scene.features),
-                pos_opt=ptx.init(scene.xyz),
-                ctrl=ctrl.init_state(scene.capacity),
+                scene=sc,
+                feat_opt=ftx.init(sc.features),
+                pos_opt=ptx.init(sc.xyz),
+                ctrl=ctrl.init_state(sc.capacity),
                 pose_deltas=d0, pose_opt=ptx_pose.init(d0),
             )
 
