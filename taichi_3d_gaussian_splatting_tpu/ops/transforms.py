@@ -116,6 +116,17 @@ def quaternion_exp(omega: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([s * omega, c[..., None]], axis=-1)
 
 
+def apply_pose_delta(q: jnp.ndarray, t: jnp.ndarray, d: jnp.ndarray):
+    """Compose a camera pose (q xyzw, t) with an se(3) refinement delta
+    d = (omega xyz, dt xyz): q' = normalize(q * exp(omega)), t' = t + dt.
+
+    The single source of truth for pose refinement — the train step
+    optimizes through it and refined_poses.json is exported with it."""
+    qq = quaternion_multiply(q.reshape(4), quaternion_exp(d[:3]))
+    qq = qq / jnp.linalg.norm(qq)
+    return qq, t.reshape(3) + d[3:]
+
+
 def quaternion_rotate(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Rotate vectors v (..., 3) by quaternions q (..., 4) xyzw.
 

@@ -77,6 +77,15 @@ class TrainState(collections.namedtuple(
     ``pose_opt`` are populated only under ``config.pose_refinement``."""
 
 
+def init_pose_opt(num_images: int):
+    """Per-row sparse-Adam state for pose refinement (see make_train_step)."""
+    return {
+        "mu": jnp.zeros((num_images, 6), jnp.float32),
+        "nu": jnp.zeros((num_images, 6), jnp.float32),
+        "count": jnp.zeros((num_images,), jnp.float32),
+    }
+
+
 def make_optimizers(config: TrainConfig):
     feature_tx = optax.adam(config.feature_learning_rate, b1=0.9, b2=0.999)
     pos_schedule = optax.exponential_decay(
@@ -104,7 +113,6 @@ def make_train_step(config: TrainConfig, height: int, width: int,
     feature_tx, position_tx = make_optimizers(config)
     gf = jnp.asarray(grad_factor_vector(rcfg))
     pose_refine = config.pose_refinement
-    pose_tx = optax.adam(config.pose_learning_rate) if pose_refine else None
 
     def step(state: TrainState, image_gt, q, t, K, sh_band, img_idx=None):
         scene = state.scene
@@ -117,11 +125,9 @@ def make_train_step(config: TrainConfig, height: int, width: int,
 
             def pose_fn(d):
                 from taichi_3d_gaussian_splatting_tpu.ops.transforms import (
-                    quaternion_exp, quaternion_multiply,
+                    apply_pose_delta,
                 )
-                qq = quaternion_multiply(q.reshape(4), quaternion_exp(d[:3]))
-                qq = qq / jnp.linalg.norm(qq)
-                return qq, t.reshape(3) + d[3:]
+                return apply_pose_delta(q, t, d)
 
             (q_used, t_used), pose_vjp = jax.vjp(pose_fn, delta)
         else:
@@ -191,15 +197,31 @@ def make_train_step(config: TrainConfig, height: int, width: int,
         )
 
         if pose_refine:
+            # exact per-image sparse Adam on the touched row only: a
+            # full-matrix optax Adam would decay each image's momentum on
+            # every other image's step and saturate bias correction during
+            # warm-up (zero-grad updates), shrinking realized pose steps
             (d_delta,) = pose_vjp((d_q, d_t))
-            g = jnp.zeros_like(state.pose_deltas).at[idx].set(
-                jnp.where(on, d_delta, 0.0))
-            du, pose_opt = pose_tx.update(g, state.pose_opt)
-            # apply only the touched row: full-matrix Adam would otherwise
-            # keep moving every image's pose on stale momentum
-            row = jnp.logical_and(
-                jnp.arange(state.pose_deltas.shape[0]) == idx, on)[:, None]
-            pose_deltas = state.pose_deltas + jnp.where(row, du, 0.0)
+            b1, b2, eps = 0.9, 0.999, 1e-8
+            po = state.pose_opt
+            mu2 = b1 * po["mu"][idx] + (1.0 - b1) * d_delta
+            nu2 = b2 * po["nu"][idx] + (1.0 - b2) * d_delta * d_delta
+            cnt2 = po["count"][idx] + 1.0
+            mu_hat = mu2 / (1.0 - jnp.power(b1, cnt2))
+            nu_hat = nu2 / (1.0 - jnp.power(b2, cnt2))
+            move = -config.pose_learning_rate * mu_hat / (
+                jnp.sqrt(nu_hat) + eps)
+            row_old = state.pose_deltas[idx]
+            pose_opt = {
+                "mu": po["mu"].at[idx].set(
+                    jnp.where(on, mu2, po["mu"][idx])),
+                "nu": po["nu"].at[idx].set(
+                    jnp.where(on, nu2, po["nu"][idx])),
+                "count": po["count"].at[idx].set(
+                    jnp.where(on, cnt2, po["count"][idx])),
+            }
+            pose_deltas = state.pose_deltas.at[idx].set(
+                jnp.where(on, row_old + move, row_old))
         else:
             pose_deltas, pose_opt = state.pose_deltas, state.pose_opt
 
@@ -432,12 +454,22 @@ class GaussianPointCloudTrainer:
             return True
         if (k % config.val_interval == 0 and k != 0) or k in (5000, 7000):
             return True
+        if k % 100 == 0:
+            # key-cap rebucket / candidate-mode refit cadence: the check
+            # runs on window-END iterations only, so %100 must be a
+            # boundary or windows could skip it indefinitely
+            return True
         return False
 
     def _boundary_before(self, k: int) -> bool:
         """True if host-side work precedes iteration k (progressive
-        downsample change) — k may then only START a window."""
-        return (k % self.config.half_downsample_factor_interval == 0
+        downsample or SH-band change) — k may then only START a window."""
+        if (k % self.config.half_downsample_factor_interval == 0
+                and k > 0):
+            return True
+        # sh_band is computed once per window: band increases must start
+        # a fresh window or interior steps would train with a stale band
+        return (k % self.config.increase_color_max_sh_band_interval == 0
                 and k > 0)
 
     def _window_size(self, iteration: int) -> int:
@@ -530,7 +562,7 @@ class GaussianPointCloudTrainer:
         if config.pose_refinement:
             pose_deltas = jnp.zeros((len(self.train_dataset), 6),
                                     jnp.float32)
-            pose_opt = optax.adam(config.pose_learning_rate).init(pose_deltas)
+            pose_opt = init_pose_opt(len(self.train_dataset))
         state = TrainState(
             scene=self.scene,
             feat_opt=feature_tx.init(self.scene.features),
@@ -586,8 +618,28 @@ class GaussianPointCloudTrainer:
             h, w = item.camera_info.camera_height, item.camera_info.camera_width
             if any((it.camera_info.camera_height,
                     it.camera_info.camera_width) != (h, w) for it in items):
-                items = items[-per_step:]
+                # mixed resolutions in the fetch: drop the window and keep
+                # only cameras matching the newest item's resolution,
+                # fetching more if the dp batch still needs filling (the
+                # loader cycles, so matches recur)
                 window = 1
+                items = [it for it in items
+                         if (it.camera_info.camera_height,
+                             it.camera_info.camera_width) == (h, w)]
+                items = items[-per_step:]
+                fetch_guard = 0
+                while len(items) < per_step:
+                    it = next(data_iter)
+                    if downsample_factor > 1:
+                        it = downsample_item(it, downsample_factor, tile)
+                    if (it.camera_info.camera_height,
+                            it.camera_info.camera_width) == (h, w):
+                        items.append(it)
+                    fetch_guard += 1
+                    if fetch_guard > 10 * max(len(self.train_dataset), 1):
+                        raise RuntimeError(
+                            "could not assemble a uniform-resolution "
+                            f"data-parallel batch of {per_step} at {h}x{w}")
             sh_band = iteration // config.increase_color_max_sh_band_interval
 
             def pose_idx(it, k):
@@ -907,31 +959,30 @@ class GaussianPointCloudTrainer:
 
     # -- validation ------------------------------------------------------------
 
-    def _export_refined_poses(self, state: TrainState,
-                              iteration: int) -> None:
+    def _export_refined_poses(self, state: TrainState) -> None:
         """Write the refined train poses (dataset pose composed with the
         learned se(3) delta) as refined_poses.json next to the checkpoints —
         a full dataset json (original records with T_pointcloud_camera
-        replaced) the render CLI and ImagePoseDataset consume directly."""
+        replaced) the render CLI and ImagePoseDataset consume directly.
+
+        Vectorized numpy/scipy (one device->host sync): scipy composition
+        R(q) @ R(exp(omega)) matches transforms.apply_pose_delta's Hamilton
+        right-multiplication (R(a*b) = R(a) R(b), tested vs scipy)."""
         import json as _json
+        from scipy.spatial.transform import Rotation
 
-        from taichi_3d_gaussian_splatting_tpu.ops.transforms import (
-            quaternion_exp, quaternion_multiply, se3_from_qt,
-        )
-
-        from taichi_3d_gaussian_splatting_tpu.data.dataset import _se3_to_qt
-
-        deltas = np.asarray(state.pose_deltas)
+        deltas = np.asarray(state.pose_deltas)  # (N, 6)
+        recs = self.train_dataset.records
+        Ts = np.stack([np.asarray(r["T_pointcloud_camera"], np.float32)
+                       for r in recs])
+        R_new = (Rotation.from_matrix(Ts[:, :3, :3])
+                 * Rotation.from_rotvec(deltas[:, :3])).as_matrix()
+        t_new = Ts[:, :3, 3] + deltas[:, 3:]
         records = []
-        for i, rec in enumerate(self.train_dataset.records):
-            # pose straight from the record (no image load)
-            q_np, t_np = _se3_to_qt(
-                np.asarray(rec["T_pointcloud_camera"], np.float32))
-            q, t = jnp.asarray(q_np), jnp.asarray(t_np)
-            d = jnp.asarray(deltas[i])
-            qq = quaternion_multiply(q, quaternion_exp(d[:3]))
-            qq = qq / jnp.linalg.norm(qq)
-            T = np.asarray(se3_from_qt(qq, t + d[3:]))
+        for i, rec in enumerate(recs):
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = R_new[i]
+            T[:3, 3] = t_new[i]
             out = dict(rec)
             out["T_pointcloud_camera"] = T.tolist()
             records.append(out)
@@ -985,7 +1036,7 @@ class GaussianPointCloudTrainer:
                                   f"scene_{iteration}.parquet")
         scene_lib.to_parquet(state.scene, scene_path)
         if config.pose_refinement and state.pose_deltas is not None:
-            self._export_refined_poses(state, iteration)
+            self._export_refined_poses(state)
         if config.save_full_checkpoint:
             from taichi_3d_gaussian_splatting_tpu.training.checkpoint import (
                 save_checkpoint,

@@ -132,15 +132,17 @@ class TestConvergence:
         dt0 = jnp.asarray([0.02, -0.015, 0.03])
         q_pert = quaternion_multiply(Q_ID, quaternion_exp(w0))
 
+        from taichi_3d_gaussian_splatting_tpu.training.trainer import (
+            init_pose_opt,
+        )
+
         step = make_train_step(config, 32, 32)
         ftx, ptx = make_optimizers(config)
-        import optax as _optax
         deltas = jnp.zeros((1, 6), jnp.float32)
-        ptx_pose = _optax.adam(config.pose_learning_rate)
         state = TrainState(
             scene=scene, feat_opt=ftx.init(scene.features),
             pos_opt=ptx.init(scene.xyz), ctrl=ctrl.init_state(scene.capacity),
-            pose_deltas=deltas, pose_opt=ptx_pose.init(deltas),
+            pose_deltas=deltas, pose_opt=init_pose_opt(1),
         )
         losses = []
         for i in range(80):
@@ -174,7 +176,7 @@ class TestConvergence:
                 feat_opt=ftx.init(sc.features),
                 pos_opt=ptx.init(sc.xyz),
                 ctrl=ctrl.init_state(sc.capacity),
-                pose_deltas=d0, pose_opt=ptx_pose.init(d0),
+                pose_deltas=d0, pose_opt=init_pose_opt(1),
             )
 
         s_seq = fresh_state()
