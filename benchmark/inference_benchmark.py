@@ -56,6 +56,50 @@ def main():
         interpret=jax.devices()[0].platform == "cpu",
     )
 
+    # pre-decode all items once (bench the renderer, not PIL)
+    items = [dataset[i] for i in range(len(dataset))]
+
+    # fit the static key capacity and candidate mode to this scene over a
+    # subsample of the dataset's cameras (same policy as the render CLI:
+    # +1 scale headroom, partition fallback when the scale is large or the
+    # probe overflowed its own cap)
+    import dataclasses
+
+    from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import (
+        build_keys, compute_raw_attrs,
+    )
+    from taichi_3d_gaussian_splatting_tpu.training.trainer import fit_key_cap
+
+    probe_fns = {}
+    worst, scale = 0, 0
+    for it in items[:: max(1, len(items) // 8)]:
+        info = it.camera_info
+        hw = (info.camera_height, info.camera_width)
+        if hw not in probe_fns:
+            cam = Camera(K=jnp.asarray(info.camera_intrinsics),
+                         width=info.camera_width, height=info.camera_height)
+
+            def pf(q, t, cam=cam):
+                raw, radius = compute_raw_attrs(
+                    scene.xyz, scene.features, q, t, cam,
+                    point_object_id=scene.object_id)
+                keys, _, _ = build_keys(raw, radius, scene.invalid, cam,
+                                        rcfg)
+                return keys.total, keys.cand_scale_req
+
+            probe_fns[hw] = jax.jit(pf)
+        tot, req = probe_fns[hw](jnp.asarray(it.q_pointcloud_camera),
+                                 jnp.asarray(it.t_pointcloud_camera))
+        worst = max(worst, int(tot))
+        scale = max(scale, int(req))
+    scale = scale + 1 if worst <= rcfg.key_cap else 0
+    mode = "direct" if 0 < scale <= 8 else "partition"
+    rcfg = dataclasses.replace(
+        rcfg, key_cap=fit_key_cap(worst, headroom=1.1),
+        candidate_mode=mode, cand_scale=scale if mode == "direct" else 1)
+    print(f"key_cap {rcfg.key_cap}, candidate mode {mode}"
+          + (f"(x{scale})" if mode == "direct" else ""))
+
     # one jitted render per resolution bucket
     fns = {}
 
@@ -77,8 +121,6 @@ def main():
             jnp.asarray(info.camera_intrinsics),
         )
 
-    # pre-decode all items once (bench the renderer, not PIL)
-    items = [dataset[i] for i in range(len(dataset))]
     stream = itertools.cycle(items)
 
     print("Warming up...")
