@@ -145,7 +145,7 @@ def _chunk_state(tab, xy, lane_lo, lane_hi, t_run, rgb_only=False):
     # log-opacity row (exp underflows to exactly 0) instead of OR-ing a
     # (PX, CHUNK) mask — out-of-range lanes then skip via the alpha test,
     # NaN lanes via the not(>=) form
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tab.shape[1]), 1)
     out_of_range = jnp.logical_or(lane < lane_lo, lane >= lane_hi)
     logro = jnp.where(out_of_range, jnp.float32(-1e4), tab[5:6, :])
     power = (-0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
@@ -162,8 +162,10 @@ def _chunk_state(tab, xy, lane_lo, lane_hi, t_run, rgb_only=False):
     # ~1e-6 per 128-lane chunk, far inside the 1e-4 oracle gates.
     log_om = jnp.log(om)
     # terms=2 keeps fwd and bwd-recompute transmittances identical while
-    # saving an MXU pass (error bound in _cumsum_mxu's docstring)
-    s_incl = _cumsum_mxu(log_om, terms=2)
+    # saving an MXU pass (error bound in _cumsum_mxu's docstring); the
+    # bound scales with the per-matmul extent, so wider chunks need the
+    # exact 3-term reconstruction to hold the 1e-4 oracle gates
+    s_incl = _cumsum_mxu(log_om, terms=2 if tab.shape[1] <= 128 else 3)
     # exclusive form first: one exp + one mul instead of exp + divide
     t_excl = t_run * jnp.exp(s_incl - log_om)
     p_incl = t_excl * om  # (PX, CHUNK)
@@ -190,18 +192,18 @@ def _forward_kernel(
     out_ref,
     # scratch
     tab_ref, acc_ref, t_ref, sem,
-    *, tile: int, rgb_only: bool,
+    *, tile: int, rgb_only: bool, chunk: int,
 ):
     px_count = tile * tile
     t = pl.program_id(0)
-    # ranges are unaligned; DMA windows start at the enclosing CHUNK
+    # ranges are unaligned; DMA windows start at the enclosing chunk
     # boundary (the hint lets Mosaic prove lane alignment) and lane masks
     # cut out the tile's actual [start, end) span
     start = start_ref[t]
     end = end_ref[t]
-    base = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+    base = pl.multiple_of((start // chunk) * chunk, chunk)
     n = end - start
-    nch = jnp.where(n > 0, pl.cdiv(end - base, CHUNK), 0)
+    nch = jnp.where(n > 0, pl.cdiv(end - base, chunk), 0)
 
     xy = _pixel_coords(tile)
 
@@ -212,7 +214,7 @@ def _forward_kernel(
 
     def get_dma(slot, c):
         return pltpu.make_async_copy(
-            table_hbm.at[:, pl.ds(base + c * CHUNK, CHUNK)],
+            table_hbm.at[:, pl.ds(base + c * chunk, chunk)],
             tab_ref.at[slot], sem.at[slot],
         )
 
@@ -239,7 +241,7 @@ def _forward_kernel(
             tab = tab_ref[c % 2]
             t_run = t_ref[:, 0:1]
             alpha_u, a, om, p_incl, t_excl, include, w, _, _ = _chunk_state(
-                tab, xy, start - base - c * CHUNK, end - base - c * CHUNK,
+                tab, xy, start - base - c * chunk, end - base - c * chunk,
                 t_run, rgb_only=rgb_only,
             )
             acc = jax.lax.dot_general(
@@ -247,7 +249,7 @@ def _forward_kernel(
                 preferred_element_type=jnp.float32, precision=HIGHEST,
             )  # (PX, 4): [sum w*r, w*g, w*b, w*depth]
             acc_ref[:, 0:4] = acc_ref[:, 0:4] + acc
-            t_ref[:, 0:1] = p_incl[:, CHUNK - 1 : CHUNK]
+            t_ref[:, 0:1] = p_incl[:, chunk - 1 : chunk]
             if not rgb_only:
                 # depth normalizer, per-pixel blend count and the reported
                 # transmittance: only the full path consumes them
@@ -282,7 +284,7 @@ def blend_forward(
     tile_start: jnp.ndarray,   # (num_tiles,) int32, CHUNK-aligned
     tile_end: jnp.ndarray,     # (num_tiles,) int32
     *, tile: int, tiles_x: int, tiles_y: int, rgb_only: bool = False,
-    interpret: bool = False,
+    chunk: int = CHUNK, interpret: bool = False,
 ):
     """Returns (num_tiles, tile*tile, 8) packed per-pixel outputs:
     [r, g, b, depth_weighted_sum, weight_sum, include_count, T_final, 0]
@@ -290,7 +292,10 @@ def blend_forward(
     """
     num_tiles = tiles_x * tiles_y
     px_count = tile * tile
-    kernel = functools.partial(_forward_kernel, tile=tile, rgb_only=rgb_only)
+    assert chunk % 128 == 0, "DMA windows must stay lane-aligned"
+    assert table.shape[1] % chunk == 0, "cap_pad must be a chunk multiple"
+    kernel = functools.partial(_forward_kernel, tile=tile, rgb_only=rgb_only,
+                               chunk=chunk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -299,7 +304,7 @@ def blend_forward(
             (1, px_count, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 16, CHUNK), jnp.float32),  # double buffer
+            pltpu.VMEM((2, 16, chunk), jnp.float32),  # double buffer
             pltpu.VMEM((px_count, 8), jnp.float32),
             pltpu.VMEM((px_count, 8), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -330,20 +335,20 @@ def _backward_kernel(
     dtab_hbm, imggrad_ref,
     # scratch
     tab_ref, drow_ref, carry_ref, rmw_ref, in_sem, out_sem, rmw_sem,
-    *, tile: int, extra_info: bool,
+    *, tile: int, extra_info: bool, chunk: int,
 ):
     px_count = tile * tile
     t = pl.program_id(0)
     # unaligned ranges; see _forward_kernel. The FIRST window may be shared
-    # with the previous tile's tail (windows are CHUNK-aligned, tiles are
+    # with the previous tile's tail (windows are chunk-aligned, tiles are
     # contiguous in key space), so chunk 0 of a misaligned tile
     # READ-MODIFY-WRITES the existing output window — the grid is
     # sequential, making this race-free.
     start = start_ref[t]
     end = end_ref[t]
-    base = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+    base = pl.multiple_of((start // chunk) * chunk, chunk)
     n = end - start
-    nch = jnp.where(n > 0, pl.cdiv(end - base, CHUNK), 0)
+    nch = jnp.where(n > 0, pl.cdiv(end - base, chunk), 0)
     shared_head = start > base
 
     xy = _pixel_coords(tile)
@@ -361,14 +366,14 @@ def _backward_kernel(
 
     def get_in_dma(slot, c):
         return pltpu.make_async_copy(
-            table_hbm.at[:, pl.ds(base + c * CHUNK, CHUNK)],
+            table_hbm.at[:, pl.ds(base + c * chunk, chunk)],
             tab_ref.at[slot], in_sem.at[slot],
         )
 
     def get_out_dma(slot, c):
         return pltpu.make_async_copy(
             drow_ref.at[slot],
-            dtab_hbm.at[:, pl.ds(base + c * CHUNK, CHUNK)],
+            dtab_hbm.at[:, pl.ds(base + c * chunk, chunk)],
             out_sem.at[slot],
         )
 
@@ -380,7 +385,7 @@ def _backward_kernel(
     @pl.when(jnp.logical_and(nch > 0, shared_head))
     def _():
         pltpu.make_async_copy(
-            dtab_hbm.at[:, pl.ds(base, CHUNK)], rmw_ref, rmw_sem
+            dtab_hbm.at[:, pl.ds(base, chunk)], rmw_ref, rmw_sem
         ).start()
 
     def body(c, state):
@@ -405,14 +410,14 @@ def _backward_kernel(
         @pl.when(jnp.logical_and(c == 0, shared_head))
         def _():
             pltpu.make_async_copy(
-                dtab_hbm.at[:, pl.ds(base, CHUNK)], rmw_ref, rmw_sem
+                dtab_hbm.at[:, pl.ds(base, chunk)], rmw_ref, rmw_sem
             ).wait()
 
         @pl.when(jnp.logical_not(active))
         def _():
             drow_ref[c % 2] = jnp.where(
                 jnp.logical_and(c == 0, shared_head), rmw_ref[:],
-                jnp.zeros((16, CHUNK), jnp.float32),
+                jnp.zeros((16, chunk), jnp.float32),
             )
 
         @pl.when(active)
@@ -421,7 +426,7 @@ def _backward_kernel(
             t_run = carry_ref[:, 0:1]
             ga_prev = carry_ref[:, 1:2]
             alpha_u, a, om, p_incl, t_excl, include, w, dx, dy = _chunk_state(
-                tab, xy, start - base - c * CHUNK, end - base - c * CHUNK,
+                tab, xy, start - base - c * chunk, end - base - c * chunk,
                 t_run
             )
             # g.c per (pixel, key): 4 broadcast FMAs on the VPU (K=4 is a
@@ -432,9 +437,9 @@ def _backward_kernel(
             ga = ga_prev + _cumsum_mxu(gcw)  # inclusive prefix on MXU
             s_after = g_cfin - ga
             dalpha = jnp.where(include, gc * t_excl - s_after / om, 0.0)
-            de = dalpha * alpha_u  # dL/d_exponent, (PX, CHUNK)
+            de = dalpha * alpha_u  # dL/d_exponent, (PX, chunk)
 
-            # Moments: (8, CHUNK) = mono^T @ de — every pixel-reduction the
+            # Moments: (8, chunk) = mono^T @ de — every pixel-reduction the
             # per-key gradients need, in one MXU op (K=PX, f32 HIGHEST).
             De = jax.lax.dot_general(
                 mono, de, (((0,), (0,)), ((), ())),
@@ -460,7 +465,7 @@ def _backward_kernel(
             d_cc = -0.5 * Sdy2
             d_logop = S1
 
-            # d_color rows: (4, CHUNK) = g^T @ w (K=PX, f32 HIGHEST)
+            # d_color rows: (4, chunk) = g^T @ w (K=PX, f32 HIGHEST)
             dcol = jax.lax.dot_general(
                 g, w, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=HIGHEST,
@@ -470,8 +475,8 @@ def _backward_kernel(
                 # per-(pixel, key) viewspace grads, directly from dx/dy
                 gx = de * (ca * dx + cb * dy)
                 gy = de * (cb * dx + cc * dy)
-                mag = jnp.sqrt(gx * gx + gy * gy)        # (PX, CHUNK)
-                mag_per_key = jnp.sum(mag, axis=0, keepdims=True)  # (1, CHUNK)
+                mag = jnp.sqrt(gx * gx + gy * gy)        # (PX, chunk)
+                mag_per_key = jnp.sum(mag, axis=0, keepdims=True)  # (1, chunk)
                 npix = jnp.sum(include.astype(jnp.float32), axis=0,
                                keepdims=True)
                 imggrad_ref[0] = imggrad_ref[0] + jnp.concatenate(
@@ -479,20 +484,20 @@ def _backward_kernel(
                      jnp.sum(jnp.abs(gy), axis=1, keepdims=True)], axis=1,
                 )
             else:
-                mag_per_key = jnp.zeros((1, CHUNK), jnp.float32)
-                npix = jnp.zeros((1, CHUNK), jnp.float32)
+                mag_per_key = jnp.zeros((1, chunk), jnp.float32)
+                npix = jnp.zeros((1, chunk), jnp.float32)
 
-            zrow = jnp.zeros((1, CHUNK), jnp.float32)
+            zrow = jnp.zeros((1, chunk), jnp.float32)
             drows = jnp.concatenate(
                 [d_u, d_v, d_ca, d_cb, d_cc, d_logop,
                  dcol,  # rows 6..9 (row 9 = sum w * g[:,3] = 0)
                  mag_per_key, npix, zrow, zrow, zrow, zrow],
                 axis=0,
-            )  # (16, CHUNK)
-            lane16 = jax.lax.broadcasted_iota(jnp.int32, (16, CHUNK), 1)
+            )  # (16, chunk)
+            lane16 = jax.lax.broadcasted_iota(jnp.int32, (16, chunk), 1)
             mask16 = jnp.logical_and(
-                lane16 >= start - base - c * CHUNK,
-                lane16 < end - base - c * CHUNK,
+                lane16 >= start - base - c * chunk,
+                lane16 < end - base - c * chunk,
             )
             ours = jnp.where(mask16, drows, 0.0)
             prev = jnp.where(
@@ -500,8 +505,8 @@ def _backward_kernel(
             )
             drow_ref[c % 2] = ours + prev
 
-            carry_ref[:, 0:1] = p_incl[:, CHUNK - 1 : CHUNK]
-            carry_ref[:, 1:2] = ga[:, CHUNK - 1 : CHUNK]
+            carry_ref[:, 0:1] = p_incl[:, chunk - 1 : chunk]
+            carry_ref[:, 1:2] = ga[:, chunk - 1 : chunk]
 
         get_out_dma(c % 2, c).start()
 
@@ -529,7 +534,7 @@ def blend_backward(
     d_rgb_tiles: jnp.ndarray,  # (num_tiles, px, 4) image cotangent (4th ch 0)
     cfin_tiles: jnp.ndarray,   # (num_tiles, px, 4) forward rgb output
     *, tile: int, tiles_x: int, tiles_y: int, extra_info: bool = True,
-    interpret: bool = False,
+    chunk: int = CHUNK, interpret: bool = False,
 ):
     """Returns (d_table (16, cap_pad), |grad_uv| image (num_tiles, px, 2)).
 
@@ -542,8 +547,10 @@ def blend_backward(
     px_count = tile * tile
     cap_pad = table.shape[1]
     dtab_init = jnp.zeros((16, cap_pad), jnp.float32)
+    assert chunk % 128 == 0, "DMA windows must stay lane-aligned"
+    assert table.shape[1] % chunk == 0, "cap_pad must be a chunk multiple"
     kernel = functools.partial(_backward_kernel, tile=tile,
-                               extra_info=extra_info)
+                               extra_info=extra_info, chunk=chunk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -561,10 +568,10 @@ def blend_backward(
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 16, CHUNK), jnp.float32),  # in double buffer
-            pltpu.VMEM((2, 16, CHUNK), jnp.float32),  # out double buffer
+            pltpu.VMEM((2, 16, chunk), jnp.float32),  # in double buffer
+            pltpu.VMEM((2, 16, chunk), jnp.float32),  # out double buffer
             pltpu.VMEM((px_count, 8), jnp.float32),
-            pltpu.VMEM((16, CHUNK), jnp.float32),     # shared-window RMW
+            pltpu.VMEM((16, chunk), jnp.float32),     # shared-window RMW
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),

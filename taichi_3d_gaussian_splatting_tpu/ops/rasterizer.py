@@ -71,6 +71,10 @@ class RasterizerConfig:
                                  # in-tile alpha < 1/255 to the sentinel
                                  # inside the expand kernel (bit-identical
                                  # output, smaller blend ranges)
+    blend_chunk: int = 128       # key lanes per blend-kernel DMA chunk
+                                 # (multiple of 128; larger chunks amortize
+                                 # per-chunk loop/DMA overhead at the cost
+                                 # of coarser early-exit granularity)
     candidate_mode: str = "partition"  # "partition": N-length sort packs
                                  # key owners into a prefix (robust at any
                                  # visibility density); "direct": skip that
@@ -164,7 +168,7 @@ def _blend_core_fwd(raw: RawAttrs, table: jnp.ndarray, keys: tiling.TileKeys,
     out_tiles = blend_pallas.blend_forward(
         table, keys.tile_start, keys.tile_end,
         tile=tile, tiles_x=tiles_x, tiles_y=tiles_y, rgb_only=cfg.rgb_only,
-        interpret=cfg.interpret,
+        chunk=cfg.blend_chunk, interpret=cfg.interpret,
     )
     residuals = (raw, keys, table, out_tiles)
     return out_tiles, residuals
@@ -192,7 +196,8 @@ def _blend_bwd_impl(raw, keys, table, out_tiles, d_rgb_tiles, tile, grid_hw,
     d_table_sorted, imggrad_tiles = blend_pallas.blend_backward(
         table, keys.tile_start, keys.tile_end, g4, cfin4,
         tile=tile, tiles_x=tiles_x, tiles_y=tiles_y,
-        extra_info=cfg.extra_info, interpret=cfg.interpret,
+        extra_info=cfg.extra_info, chunk=cfg.blend_chunk,
+        interpret=cfg.interpret,
     )
 
     # tile-layout order -> original-key order, realized as one

@@ -167,6 +167,40 @@ class TestTiling:
         np.testing.assert_array_equal(np.asarray(gp[0]), np.asarray(gd[0]))
         np.testing.assert_array_equal(np.asarray(gp[1]), np.asarray(gd[1]))
 
+    def test_blend_chunk_256_matches_128(self):
+        """Larger blend DMA chunks stay within the oracle-gate tolerance
+        class: chunk boundaries move the cumsum rounding splits and can
+        flip lanes at the 1e-4 saturation threshold, so 256 vs 128 is
+        compared at the same atol/rtol the production-vs-oracle gradient
+        gates use (the 256 path also passes those gates directly; its
+        forward rgb is 1-ulp from the oracle via the 3-term cumsum)."""
+        import dataclasses
+        xyz, feats, _ = make_scene(500, seed=13)
+        cam = make_camera(w=128, h=64)
+        invalid = jnp.zeros((500,), bool)
+        base = RasterizerConfig(tile_size=32, key_cap=4096, interpret=True)
+        big = dataclasses.replace(base, blend_chunk=256)
+        out_a = rasterize(xyz, feats, invalid, Q_ID, T_ID, cam, base)
+        out_b = rasterize(xyz, feats, invalid, Q_ID, T_ID, cam, big)
+        np.testing.assert_allclose(np.asarray(out_a.rgb),
+                                   np.asarray(out_b.rgb), atol=1e-4)
+
+        def loss(cfg):
+            def f(x, ft):
+                o = rasterize(x, ft, invalid, Q_ID, T_ID, cam, cfg)
+                return jnp.sum(o.rgb * o.rgb)
+            return jax.grad(f, argnums=(0, 1))(xyz, feats)
+        ga = loss(base)
+        gb = loss(big)
+        # a lane sitting exactly at the T<1e-4 saturation cutoff can flip
+        # inclusion between chunkings, toggling its whole contribution
+        # (~1e-3-scale on this dense scene) — the gate is sized for that
+        # flip class while still catching structural O(1) breakage
+        np.testing.assert_allclose(np.asarray(ga[0]), np.asarray(gb[0]),
+                                   atol=5e-3, rtol=1e-2)
+        np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gb[1]),
+                                   atol=5e-3, rtol=1e-2)
+
     def test_inverse_permutation(self):
         slots = jnp.asarray(RNG.permutation(256).astype(np.int32))
         inv = tiling.inverse_permutation(slots)
