@@ -86,10 +86,36 @@ def main():
     cam = Camera(
         K=jnp.asarray([[1000.0, 0, w / 2], [0, 1000.0, h / 2], [0, 0, 1]],
                       jnp.float32), width=w, height=h)
+    import os
+
     cfg = RasterizerConfig(tile_size=32, key_cap=2 ** 21, interpret=False,
                            extra_info=False)
     xyz, feats, invalid = make_scene(n)
     print("devices:", jax.devices(), flush=True)
+
+    # measurement knobs: BD_CAP=fit refits the capacity to the live keys;
+    # BD_MODE=direct (+auto-fitted scale) drops the partition sort;
+    # BD_CHUNK=256 widens the blend DMA chunks
+    import dataclasses as _dc
+    if os.environ.get("BD_CAP") == "fit" or os.environ.get("BD_MODE") \
+            or os.environ.get("BD_CHUNK"):
+        from taichi_3d_gaussian_splatting_tpu.training.trainer import (
+            fit_key_cap,
+        )
+        raw0, rad0 = jax.jit(
+            lambda x, f: compute_raw_attrs(x, f, Q_ID, T_ID, cam))(xyz, feats)
+        k0, _, _ = jax.jit(
+            lambda r, rad: build_keys(r, rad, invalid, cam, cfg))(raw0, rad0)
+        if os.environ.get("BD_CAP") == "fit":
+            cfg = _dc.replace(cfg, key_cap=fit_key_cap(int(k0.total),
+                                                       headroom=1.0))
+        if os.environ.get("BD_MODE") == "direct":
+            cfg = _dc.replace(cfg, candidate_mode="direct",
+                              cand_scale=int(k0.cand_scale_req))
+        if os.environ.get("BD_CHUNK"):
+            cfg = _dc.replace(cfg, blend_chunk=int(os.environ["BD_CHUNK"]))
+        print(f"  knobs: key_cap={cfg.key_cap} mode={cfg.candidate_mode}"
+              f"(x{cfg.cand_scale}) chunk={cfg.blend_chunk}", flush=True)
 
     bench_injit(
         lambda x, f: compute_raw_attrs(x, f, Q_ID, T_ID, cam),
@@ -112,25 +138,28 @@ def main():
 
     bench_injit(
         functools.partial(blend_pallas.blend_forward, tile=cfg.tile_size,
-                          tiles_x=tiles_x, tiles_y=tiles_y),
+                          tiles_x=tiles_x, tiles_y=tiles_y,
+                          chunk=cfg.blend_chunk),
         0, table, keys.tile_start, keys.tile_end, name="blend fwd (pallas)")
 
     out_tiles = jax.jit(functools.partial(
         blend_pallas.blend_forward, tile=cfg.tile_size, tiles_x=tiles_x,
-        tiles_y=tiles_y))(table, keys.tile_start, keys.tile_end)
+        tiles_y=tiles_y, chunk=cfg.blend_chunk))(
+            table, keys.tile_start, keys.tile_end)
     g4 = jnp.ones((tiles_x * tiles_y, cfg.tile_size ** 2, 4), jnp.float32)
     cfin = jnp.concatenate(
         [out_tiles[..., 0:3], jnp.zeros_like(out_tiles[..., 0:1])], axis=-1)
 
     bench_injit(
         functools.partial(blend_pallas.blend_backward, tile=cfg.tile_size,
-                          tiles_x=tiles_x, tiles_y=tiles_y, extra_info=False),
+                          tiles_x=tiles_x, tiles_y=tiles_y, extra_info=False,
+                          chunk=cfg.blend_chunk),
         0, table, keys.tile_start, keys.tile_end, g4, cfin,
         name="blend bwd (pallas)")
 
     d_table = jax.jit(functools.partial(
         blend_pallas.blend_backward, tile=cfg.tile_size, tiles_x=tiles_x,
-        tiles_y=tiles_y, extra_info=False))(
+        tiles_y=tiles_y, extra_info=False, chunk=cfg.blend_chunk))(
             table, keys.tile_start, keys.tile_end, g4, cfin)[0]
 
     from taichi_3d_gaussian_splatting_tpu.ops.segment_reduce import (
