@@ -74,6 +74,11 @@ def main():
     parser.add_argument("--views", type=int, default=48)
     parser.add_argument("--hw", type=int, default=256)
     parser.add_argument("--out", type=str, default="/tmp/quality_run")
+    parser.add_argument("--pose_noise", type=float, default=0.0,
+                        help="perturb TRAIN poses by this magnitude "
+                        "(radians rot / units trans) and enable pose "
+                        "refinement — GT images keep the true poses, so "
+                        "refinement must recover the perturbation")
     args = parser.parse_args()
 
     from PIL import Image
@@ -125,6 +130,18 @@ def main():
     if not have_dataset:
         train = [r for i, r in enumerate(records) if i % 8 != 0]
         val = [r for i, r in enumerate(records) if i % 8 == 0]
+        if args.pose_noise > 0:
+            # images stay rendered at the TRUE poses; the recorded train
+            # poses get an se(3) perturbation in the refinement-delta
+            # convention (T' = T * exp(noise)) for refinement to undo
+            from scipy.spatial.transform import Rotation
+            for r in train:
+                T = np.asarray(r["T_pointcloud_camera"], np.float32)
+                w = rng.normal(0, args.pose_noise, 3)
+                T2 = T.copy()
+                T2[:3, :3] = T[:3, :3] @ Rotation.from_rotvec(w).as_matrix()
+                T2[:3, 3] += rng.normal(0, args.pose_noise, 3)
+                r["T_pointcloud_camera"] = T2.tolist()
         json.dump(train, open(f"{args.out}/train.json", "w"))
         json.dump(val, open(f"{args.out}/val.json", "w"))
 
@@ -182,6 +199,9 @@ def main():
         "loss_function_config": {"enable_regularization": False},
         "resume_from": resume_ck if os.path.exists(resume_ck) else None,
         "steps_per_dispatch": 10,
+        "pose_refinement": args.pose_noise > 0,
+        "pose_learning_rate": 1e-3,
+        "pose_refinement_warm_up": 300,
     })
     trainer = GaussianPointCloudTrainer(config)
     t0 = time.time()
