@@ -111,24 +111,17 @@ def make_dp_train_step(config: TrainConfig, height: int, width: int,
         ssim_v = jax.lax.pmean(ssim_v, "data")
         train_psnr = jax.lax.pmean(psnr_fn(pred, image_gt), "data")
 
+        # per-camera accumulator contribution via the single source of
+        # truth (controller.accumulate, incl. its isfinite hardening),
+        # psum'd over the mesh before adding to the carried state
         vis = stats.in_camera.astype(jnp.float32)
-        acc = ctrl.ControllerState(
-            num_pixels=jax.lax.psum(vis * stats.num_affected_pixels, "data"),
-            num_in_camera=jax.lax.psum(vis, "data"),
-            grad_viewspace=jax.lax.psum(
-                vis * stats.magnitude_grad_viewspace, "data"),
-            grad_viewspace_avg=jax.lax.psum(
-                vis * jnp.where(
-                    jnp.isnan(stats.magnitude_grad_viewspace
-                              / stats.num_affected_pixels),
-                    0.0,
-                    stats.magnitude_grad_viewspace / stats.num_affected_pixels,
-                ), "data"),
-            grad_position=jax.lax.psum(vis[:, None] * d_xyz, "data"),
-            grad_position_norm=jax.lax.psum(
-                vis * jnp.linalg.norm(d_xyz, axis=-1), "data"),
+        contrib = ctrl.accumulate(
+            ctrl.init_state(scene.capacity), stats.in_camera,
+            stats.num_affected_pixels, stats.magnitude_grad_viewspace,
+            d_xyz,
         )
-        ctrl_state = jax.tree.map(lambda a, b: a + b, state.ctrl, acc)
+        ctrl_state = jax.tree.map(
+            lambda cur, c: cur + jax.lax.psum(c, "data"), state.ctrl, contrib)
 
         fu, feat_opt = feature_tx.update(d_features, state.feat_opt)
         pu, pos_opt = position_tx.update(d_xyz, state.pos_opt)

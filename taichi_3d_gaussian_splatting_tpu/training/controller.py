@@ -131,9 +131,14 @@ def find_densify(
     remove_floaters: bool,
     cfg: ControllerConfig,
 ) -> DensifyInfo:
-    """Selection pass (reference _find_densify_points :170-283). Must run on
-    the pre-optimizer-step scene so recorded positions differ from the
-    updated originals (reference docstring :171-175)."""
+    """Selection pass (reference _find_densify_points :170-283).
+
+    The reference snapshots PRE-optimizer-step positions (:171-175) so
+    clones differ from their source by one Adam step; the trainer here
+    deliberately runs this on the post-step scene to keep a single jitted
+    step, so ``position_before`` equals the current positions and clone
+    separation comes from apply_densify's unconditional grad-move /
+    sampling / foci offset instead."""
     valid = jnp.logical_not(scene.invalid)
 
     # floaters: huge near-camera splats, only after warm-in (:194-202)
@@ -232,16 +237,15 @@ def _sample_from_gaussian(key, xyz, features):
 def _ellipsoid_foci_offset(features):
     """Center->focus vector of the ellipsoid (reference GaussianPoint3D.py:
     375-388): along the major axis, length sqrt(a^2 - b^2) with a the
-    largest and b the second-largest semi-axis exp(s)."""
+    largest and b the SMALLEST semi-axis exp(s) (the reference's
+    get_ellipsoid_foci_vector uses min over the axes)."""
     q = features[:, 0:4]
     q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
     s = jnp.exp(features[:, 4:7])
     r = quaternion_to_rotation_matrix(q)
     major = jnp.argmax(s, axis=-1)
     a = jnp.max(s, axis=-1)
-    # second largest: max after masking the major axis
-    s_masked = s.at[jnp.arange(s.shape[0]), major].set(-jnp.inf)
-    b = jnp.max(s_masked, axis=-1)
+    b = jnp.min(s, axis=-1)
     c = jnp.sqrt(jnp.maximum(a * a - b * b, 0.0))
     axis = jnp.take_along_axis(r, major[:, None, None], axis=2)[..., 0]
     return axis * c[:, None]
@@ -288,18 +292,23 @@ def apply_densify(
     new_oid = scene.object_id[src]
 
     over = info.over_mask[src]
-    if cfg.enable_sample_from_point:
-        k1, k2 = jax.random.split(key)
-        sampled_new = _sample_from_gaussian(k1, new_xyz, new_feat)
-        new_xyz = jnp.where(over[:, None], sampled_new, new_xyz)
-        # under-reconstructed: move along accumulated grad (:342-345)
-        new_xyz = jnp.where(
-            over[:, None], new_xyz,
-            new_xyz + info.grad_position[src] * cfg.under_reconstructed_move_factor,
-        )
+    k1, k2 = jax.random.split(key)
+    # reference order (:323-345): foci offset first, THEN over-points get
+    # overwritten by a sample (centered at the stored — possibly offset —
+    # position) and under-points move along the accumulated gradient. The
+    # grad-move applies regardless of the sampling flag so clones always
+    # separate from their source (the trainer selects on the
+    # post-optimizer-step scene, so position_before == current xyz).
     if cfg.enable_ellipsoid_offset:
-        off = _ellipsoid_foci_offset(new_feat)
-        new_xyz = new_xyz + off
+        new_xyz = new_xyz + _ellipsoid_foci_offset(new_feat)
+    if cfg.enable_sample_from_point:
+        sampled_new = _sample_from_gaussian(k1, new_xyz, new_feat)
+    else:
+        sampled_new = new_xyz
+    new_xyz = jnp.where(
+        over[:, None], sampled_new,
+        new_xyz + info.grad_position[src] * cfg.under_reconstructed_move_factor,
+    )
 
     # scatter new points into their slots
     dst_masked = jnp.where(active, dst, n)  # out-of-range -> dropped
@@ -315,13 +324,15 @@ def apply_densify(
     ].set(True, mode="drop")
     shrink = jnp.where(filled_src_mask, info.size_reduction, 0.0)
     features = features.at[:, 4:7].add(-shrink[:, None])
+    # same ordering as the new-point side: offset first, over-points then
+    # overwritten by a resample
+    if cfg.enable_ellipsoid_offset:
+        off_all = _ellipsoid_foci_offset(features)
+        xyz = jnp.where(filled_src_mask[:, None], xyz - off_all, xyz)
     if cfg.enable_sample_from_point:
         resampled = _sample_from_gaussian(k2, xyz, features)
         resample_mask = jnp.logical_and(filled_src_mask, info.over_mask)
         xyz = jnp.where(resample_mask[:, None], resampled, xyz)
-    if cfg.enable_ellipsoid_offset:
-        off_all = _ellipsoid_foci_offset(features)
-        xyz = jnp.where(filled_src_mask[:, None], xyz - off_all, xyz)
 
     return GaussianScene(
         xyz=xyz, features=features, invalid=invalid, object_id=object_id
