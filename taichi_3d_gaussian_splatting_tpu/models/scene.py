@@ -41,7 +41,6 @@ FEATURE_COLUMNS = (
 class SceneConfig:
     """Mirrors PointCloudSceneConfig (reference :15-23)."""
 
-    num_of_features: int = NUM_FEATURES
     max_num_points_ratio: Optional[float] = None
     add_sphere: bool = False
     sphere_radius_factor: float = 4.0
@@ -118,8 +117,17 @@ def _initialize_features(point_cloud, cap, config, rgb, seed):
     feats = np.zeros((cap, NUM_FEATURES), np.float32)
 
     tree = cKDTree(point_cloud)
-    dist, _ = tree.query(point_cloud, k=4)
-    initial_cov = dist[:, 1:].mean(axis=1) * config.initial_covariance_ratio
+    k = min(4, n)
+    dist, _ = tree.query(point_cloud, k=k)
+    if k > 1:
+        dist = np.atleast_2d(dist)
+        mean_nn = dist[:, 1:].mean(axis=1)
+    else:
+        mean_nn = np.ones((n,), np.float32)
+    # cKDTree fills absent neighbors with inf (n < 4): fall back to unit
+    # scale rather than log(inf) features
+    mean_nn = np.where(np.isfinite(mean_nn), mean_nn, 1.0)
+    initial_cov = mean_nn * config.initial_covariance_ratio
     initial_cov = np.clip(initial_cov, 1e-6, config.max_initial_covariance)
     feats[:n, 4:7] = np.log(initial_cov)[:, None]
 
@@ -133,7 +141,9 @@ def _initialize_features(point_cloud, cap, config, rgb, seed):
     feats[:, 24] = 1.0
     feats[:, 40] = 1.0
     if rgb is not None:
-        rgb = np.clip(np.asarray(rgb, np.float32) / 255.0, 0.0, 0.99)
+        # lower clip must be positive: pure-black input points would get
+        # -inf DC features whose sigmoid VJP is NaN on the first backward
+        rgb = np.clip(np.asarray(rgb, np.float32) / 255.0, 1e-3, 0.99)
         logit = np.log(rgb / (1.0 - rgb))
         feats[:n, 8] = logit[:, 0] / SH_C0
         feats[:n, 24] = logit[:, 1] / SH_C0
@@ -175,7 +185,18 @@ def from_parquet(path: str, config: SceneConfig = SceneConfig(),
     point_cloud = df[["x", "y", "z"]].to_numpy(np.float32)
     has_color = all(c in df.columns for c in ("r", "g", "b"))
     if set(FEATURE_COLUMNS).issubset(df.columns):
-        feats = df[FEATURE_COLUMNS].to_numpy(np.float32)
+        # copy: to_numpy may hand back a read-only view of the frame
+        feats = np.array(df[FEATURE_COLUMNS].to_numpy(np.float32))
+        bad = ~np.isfinite(feats).all(axis=1)
+        if bad.any():
+            # sphere rows appended to a TRAINED parquet carry none of the
+            # feature columns (pd.concat fills NaN): give them fresh init
+            # instead of installing NaN rows as valid points
+            rgb = (df[["r", "g", "b"]].to_numpy(np.float32)
+                   if has_color else None)
+            init = _initialize_features(
+                point_cloud, point_cloud.shape[0], config, rgb, seed)
+            feats[bad] = init[bad]
         return create_scene(point_cloud, config, features=feats, seed=seed)
     rgb = df[["r", "g", "b"]].to_numpy(np.float32) if has_color else None
     return create_scene(point_cloud, config, rgb=rgb, seed=seed)
@@ -257,6 +278,11 @@ def from_ply(path: str, config: SceneConfig = SceneConfig()) -> GaussianScene:
                 n = int(line.split()[-1])
             elif line.startswith("property float"):
                 names.append(line.split()[-1])
+            elif line.startswith("property"):
+                # a non-float property would shift the fixed 4-byte record
+                # stride and silently corrupt every following field
+                raise ValueError(
+                    f"unsupported (non-float) PLY property: {line!r}")
             elif line == "end_header":
                 break
         data = np.frombuffer(f.read(n * len(names) * 4), dtype="<f4")

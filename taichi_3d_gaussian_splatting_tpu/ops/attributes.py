@@ -79,7 +79,7 @@ def compute_point_attributes(
     conic = jnp.stack([ca, cb, cc, rescale], axis=-1)
     cov2d = jnp.stack([a, b, c], axis=-1)
 
-    opacity = 1.0 / (1.0 + jnp.exp(-alpha_logit))
+    opacity = jax.nn.sigmoid(alpha_logit)  # stable VJP at logits < -88
 
     # Per-axis OUTPUT-LOSSLESS cull radius. The blend skips contributions
     # with alpha = exp(-q/2) * rescale * opacity < 1/255, and the axis
@@ -105,7 +105,7 @@ def compute_point_attributes(
     # cliff as the EWA 3x3 products; see projection.py), and this form is
     # exact f32 on the VPU with no precision pin needed
     raw = jnp.sum(sh * (basis * band_mask)[:, None, :], axis=-1)
-    color = 1.0 / (1.0 + jnp.exp(-raw))
+    color = jax.nn.sigmoid(raw)
 
     return PointAttributes(
         uv=uv, xyz_cam=xyz_cam, cov2d=cov2d, conic=conic,

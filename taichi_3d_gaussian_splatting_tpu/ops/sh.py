@@ -5,6 +5,7 @@ Coefficients and sign conventions match the reference exactly.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 NUM_SH_COEFF = 16
@@ -54,4 +55,5 @@ def eval_sh_color(sh_coeffs: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray
     """
     basis = sh_basis(direction)  # (..., 16)
     raw = jnp.einsum("...ck,...k->...c", sh_coeffs, basis)
-    return 1.0 / (1.0 + jnp.exp(-raw))
+    # jax.nn.sigmoid: same forward, NaN-free gradient when exp overflows
+    return jax.nn.sigmoid(raw)
