@@ -221,18 +221,23 @@ scene &middot; H/P hide/show</div>
 <script>
 const img=document.getElementById('v');let drag=null;
 async function loop(){img.src='/frame?'+Date.now();}
-img.onload=()=>setTimeout(loop,30);loop();
+img.onload=()=>setTimeout(loop,30);
+img.onerror=()=>setTimeout(loop,1000);  // keep polling through hiccups
+loop();
 async function ev(b){await fetch('/event',{method:'POST',body:JSON.stringify(b)})}
 window.onkeydown=e=>ev({key:e.key.toLowerCase()});
 img.onmousedown=e=>drag=[e.clientX,e.clientY];
 window.onmouseup=()=>drag=null;
 window.onmousemove=e=>{if(!drag)return;
-  ev({dx:(e.clientY-drag[1])/img.height,dy:(e.clientX-drag[0])/img.width});
+  /* clientY grows DOWN; the reference ti.GUI cursor frame grows UP, so
+     the vertical drag flips sign to preserve its orbit direction */
+  ev({dx:-(e.clientY-drag[1])/img.height,dy:(e.clientX-drag[0])/img.width});
   drag=[e.clientX,e.clientY];};
 </script></body></html>"""
 
 
-def serve(vis: GaussianPointVisualizer, port: int) -> None:
+def serve(vis: GaussianPointVisualizer, port: int,
+          host: str = "127.0.0.1") -> None:
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
             pass
@@ -260,8 +265,11 @@ def serve(vis: GaussianPointVisualizer, port: int) -> None:
             self.send_response(204)
             self.end_headers()
 
-    server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
-    print(f"viewer at http://localhost:{port}/")
+    # loopback by default: the server exposes unauthenticated scene
+    # control/render; reach it over SSH port-forwarding, or opt in to a
+    # wider bind with --host
+    server = ThreadingHTTPServer((host, port), Handler)
+    print(f"viewer at http://localhost:{port}/ (bound to {host})")
     server.serve_forever()
 
 
@@ -270,6 +278,10 @@ def main():
     parser.add_argument("--parquet_path_list", type=str, nargs="+",
                         required=True)
     parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--host", type=str, default="127.0.0.1",
+                        help="bind address (default loopback; the viewer "
+                        "is unauthenticated — prefer SSH port-forwarding "
+                        "over 0.0.0.0)")
     parser.add_argument("--ftgmm", action="store_true", default=False,
                         help="run the GMM Fourier analysis at startup "
                              "(reference visualizer.py:107)")
@@ -281,7 +293,7 @@ def main():
         from taichi_3d_gaussian_splatting_tpu.tools.ftgmm import ft_grab_scene
 
         print("ftgmm:", ft_grab_scene(vis.scene))
-    serve(vis, args.port)
+    serve(vis, args.port, host=args.host)
 
 
 if __name__ == "__main__":

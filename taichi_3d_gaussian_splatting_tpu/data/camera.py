@@ -20,19 +20,10 @@ class CameraInfo:
     camera_width: int
     camera_id: int
 
-    def downsample(self, factor: float, multiple: int) -> "CameraInfo":
-        """Scaled intrinsics + dimensions cropped to a multiple (trainer's
-        progressive-resolution path, GaussianPointTrainer.py:102-121)."""
-        if factor == 1:
-            return self
-        h = int(self.camera_height / factor)
-        w = int(self.camera_width / factor)
-        h -= h % multiple
-        w -= w % multiple
-        k = self.camera_intrinsics.copy()
-        k[0, :] *= w / self.camera_width
-        k[1, :] *= h / self.camera_height
-        return CameraInfo(k, h, w, self.camera_id)
+    # NOTE: progressive-resolution downsampling lives in
+    # data/dataset.py::downsample_item (box-average + tile crop, K scaled
+    # by exactly 1/factor — cropping bottom/right rows does not change
+    # focal length, so the crop must NOT be folded into the K scale).
 
 
 @dataclass

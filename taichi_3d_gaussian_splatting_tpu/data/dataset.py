@@ -89,6 +89,10 @@ class ImagePoseDataset:
         base_w = int(rec["camera_width"])
 
         img = PIL.Image.open(rec["image_path"])
+        if img.mode not in ("RGB", "L"):
+            # palette/16-bit/alpha modes would decode to palette indices or
+            # out-of-[0,1] values; PIL normalizes them all to 8-bit RGB
+            img = img.convert("RGB")
         w, h = img.size
         # rescale intrinsics from the colmap-reported to the actual size
         # (reference :77-83)
@@ -150,44 +154,62 @@ class PrefetchLoader:
                 return
 
     def __iter__(self) -> Iterator[DatasetItem]:
+        from concurrent.futures import ThreadPoolExecutor
+
         q_out: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         index_iter = self._index_stream()
-        lock = threading.Lock()
         ticket = threading.Semaphore(self.prefetch)
         stop = threading.Event()
         SENTINEL = object()
 
-        # single ordering thread dispatches to a pool for decode, preserving
-        # stream order with per-item events
+        # one ordering thread dispatches decodes to a BOUNDED pool
+        # (num_threads workers — the knob the trainer config exposes),
+        # preserving stream order via the pending queue of futures; the
+        # `prefetch` semaphore bounds decoded-but-unconsumed items
         pending: "queue.Queue" = queue.Queue()
+        pool = ThreadPoolExecutor(max_workers=max(self.num_threads, 1),
+                                  thread_name_prefix="dataset-decode")
+
+        def decode(i):
+            return self.dataset[i]
+
+        def acquire_interruptible(sem):
+            # plain acquire() would block forever after the consumer
+            # abandons the iterator (stop can't interrupt it): poll
+            while not stop.is_set():
+                if sem.acquire(timeout=0.25):
+                    return True
+            return False
 
         def producer():
             while not stop.is_set():
-                with lock:
-                    try:
-                        idx = next(index_iter)
-                    except StopIteration:
-                        pending.put(SENTINEL)
-                        return
-                ticket.acquire()
-                slot = {"done": threading.Event(), "item": None}
-                pending.put(slot)
-                def work(i=idx, s=slot):
-                    try:
-                        s["item"] = self.dataset[i]
-                    except Exception as e:  # surface in consumer
-                        s["item"] = e
-                    s["done"].set()
-                threading.Thread(target=work, daemon=True).start()
+                try:
+                    idx = next(index_iter)
+                except StopIteration:
+                    pending.put(SENTINEL)
+                    return
+                if not acquire_interruptible(ticket):
+                    return
+                pending.put(pool.submit(decode, idx))
 
         def collector():
             while True:
-                slot = pending.get()
-                if slot is SENTINEL:
+                fut = pending.get()
+                if fut is SENTINEL:
                     q_out.put(SENTINEL)
                     return
-                slot["done"].wait()
-                q_out.put(slot["item"])
+                try:
+                    item = fut.result()
+                except Exception as e:  # surface in consumer
+                    item = e
+                while not stop.is_set():
+                    try:
+                        q_out.put(item, timeout=0.25)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
                 ticket.release()
 
         threading.Thread(target=producer, daemon=True).start()
@@ -202,6 +224,7 @@ class PrefetchLoader:
                 yield item
         finally:
             stop.set()
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 def downsample_item(item: DatasetItem, factor: float,

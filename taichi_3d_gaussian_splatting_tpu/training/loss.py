@@ -102,16 +102,20 @@ def compute_loss(
     ssim_val = ssim(predicted, target)
     loss = (1.0 - cfg.lambda_value) * l1 + cfg.lambda_value * (1.0 - ssim_val)
     if cfg.enable_regularization and features is not None:
-        # mean L2 norm of exp(log_scale) over valid points (reference :40-51)
-        s = jnp.exp(features[:, 4:7])
-        norms = jnp.linalg.norm(s, axis=-1)
+        # mean L2 norm of exp(log_scale) over valid points (reference :40-51).
+        # Mask the INPUT log-scales, not the output norm: an overflowing
+        # exp on an invalid row would otherwise give inf/inf = NaN in the
+        # VJP even under a zero cotangent (0 * NaN).
+        logs = features[:, 4:7]
         if invalid_mask is not None:
             valid = jnp.logical_not(invalid_mask)
+            logs = jnp.where(valid[:, None], logs, 0.0)
+            norms = jnp.linalg.norm(jnp.exp(logs), axis=-1)
             reg = jnp.sum(jnp.where(valid, norms, 0.0)) / jnp.maximum(
                 jnp.sum(valid), 1
             )
         else:
-            reg = jnp.mean(norms)
+            reg = jnp.mean(jnp.linalg.norm(jnp.exp(logs), axis=-1))
         loss = loss + cfg.regularization_weight * reg
     return loss, l1, ssim_val
 
