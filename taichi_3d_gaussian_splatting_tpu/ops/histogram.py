@@ -19,8 +19,7 @@ from jax.experimental.pallas import tpu as pltpu
 BLOCK = 2048  # keys per grid step
 
 
-def _kernel(ids_ref, out_ref, acc_ref, *, num_buckets_pad: int,
-            valid_len: int):
+def _kernel(ids_ref, out_ref, acc_ref, *, num_buckets_pad: int):
     b = pl.program_id(0)
     nb = pl.num_programs(0)
 
@@ -28,10 +27,9 @@ def _kernel(ids_ref, out_ref, acc_ref, *, num_buckets_pad: int,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    # padding/out-of-range lanes were mapped to num_buckets_pad by the
+    # host side, which matches no bucket column — no in-kernel masking
     ids = ids_ref[:].reshape(BLOCK, 1)
-    base = b * BLOCK
-    k = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 1), 0) + base
-    ids = jnp.where(k < valid_len, ids, num_buckets_pad)  # pad -> dropped
     buckets = jax.lax.broadcasted_iota(
         jnp.int32, (BLOCK, num_buckets_pad), 1
     )
@@ -51,8 +49,12 @@ def bucket_histogram(ids: jnp.ndarray, num_buckets: int,
     BLOCK multiple internally.
     """
     n = ids.shape[0]
-    n_pad = ((n + BLOCK - 1) // BLOCK) * BLOCK
+    # f32 accumulator: counts above 2^24 would silently round
+    assert n < 2 ** 24, f"histogram input too long for f32 counts: {n}"
     nb_pad = ((num_buckets + 127) // 128) * 128
+    if n == 0:  # grid=(0,) would never write the output block
+        return jnp.zeros((num_buckets,), jnp.int32)
+    n_pad = ((n + BLOCK - 1) // BLOCK) * BLOCK
     ids_p = jnp.pad(ids, (0, n_pad - n), constant_values=nb_pad)
     ids_p = jnp.where(
         jnp.logical_and(ids_p >= 0, ids_p < num_buckets), ids_p, nb_pad
@@ -61,7 +63,7 @@ def bucket_histogram(ids: jnp.ndarray, num_buckets: int,
     import functools
 
     out = pl.pallas_call(
-        functools.partial(_kernel, num_buckets_pad=nb_pad, valid_len=n),
+        functools.partial(_kernel, num_buckets_pad=nb_pad),
         grid=(n_pad // BLOCK,),
         in_specs=[
             pl.BlockSpec((BLOCK,), lambda b: (b,),

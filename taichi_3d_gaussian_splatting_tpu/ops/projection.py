@@ -41,7 +41,14 @@ def project_point(
     cx = R_cw[0, 0] * x + R_cw[0, 1] * y + R_cw[0, 2] * z + t_cw[0]
     cy = R_cw[1, 0] * x + R_cw[1, 1] * y + R_cw[1, 2] * z + t_cw[1]
     cz = R_cw[2, 0] * x + R_cw[2, 1] * y + R_cw[2, 2] * z + t_cw[2]
-    inv = 1.0 / cz
+    # clamp |cz| away from 0 with the sign preserved: the dense all-slot
+    # projection also runs on culled points whose cz can cross 0 during
+    # optimization, and 1/cz -> inf there makes the VJP emit NaN even for
+    # the zero cotangents culling gives them (visible points have
+    # cz >= near_plane, far above the 1e-6 clamp — values unchanged)
+    cz_safe = jnp.where(jnp.abs(cz) < 1e-6,
+                        jnp.where(cz < 0, -1e-6, 1e-6), cz)
+    inv = 1.0 / cz_safe
     u = (K[0, 0] * cx + K[0, 1] * cy + K[0, 2] * cz) * inv
     v = (K[1, 0] * cx + K[1, 1] * cy + K[1, 2] * cz) * inv
     return (jnp.stack([u, v], axis=-1),
@@ -112,6 +119,11 @@ def project_cov2d_components(
     fx = K[0, 0]
     fy = K[1, 1]
     x, y, z = xyz_cam[..., 0], xyz_cam[..., 1], xyz_cam[..., 2]
+    # same z~0 VJP guard as project_point (culled points still flow here)
+    # 1e-6 (not smaller): the squared Jacobian terms carry inv_z^4, which
+    # must stay inside f32 range or inf - inf = NaN poisons the VJP
+    z = jnp.where(jnp.abs(z) < 1e-6,
+                  jnp.where(z < 0, -1e-6, 1e-6), z)
     inv_z = 1.0 / z
     jx = fx * inv_z          # J[0,0]
     jy = fy * inv_z          # J[1,1]
@@ -162,11 +174,27 @@ def conic_rescale_radius_components(a, b, c):
     intermediates (reference utils.py:257-274,
     GaussianPointCloudRasterisation.py:309-315).
     """
+    # clamp the components so af*cf and b^2 stay inside f32 range: a point
+    # crossing the camera plane produces cov entries O(1e25+) whose
+    # products hit inf - inf = NaN in det, poisoning the whole VJP row.
+    # Real splats are bounded by the image diagonal (cov ~ px^2 << 1e18).
+    a = jnp.clip(a, -1e18, 1e18)
+    b = jnp.clip(b, -1e18, 1e18)
+    c = jnp.clip(c, -1e18, 1e18)
     det_prefilter = a * c - b * b
     af = a + COV2D_FILTER
     cf = c + COV2D_FILTER
     det = af * cf - b * b
-    rescale = jnp.sqrt(jnp.maximum(0.0, det_prefilter / det))
+    # floor: exact math gives det >= 0.3*(a+c) + 0.09 for PSD cov, but at
+    # 1e36 magnitudes f32 cancellation can produce 0 or negative
+    det = jnp.maximum(det, 1e-6)
+    # double-where sqrt guard: a degenerate splat (det_prefilter == 0,
+    # e.g. exp(log_scale) underflow) keeps its forward rescale of exactly
+    # 0 but the VJP must not see d sqrt(0) = inf — even a zero cotangent
+    # would turn it into 0 * inf = NaN across d_log_scale/d_quat/d_xyz
+    ratio = jnp.maximum(0.0, det_prefilter / det)
+    rescale = jnp.where(
+        ratio > 0.0, jnp.sqrt(jnp.maximum(ratio, 1e-30)), 0.0)
     inv_det = 1.0 / det
     lam_max = (a + c + jnp.sqrt((a - c) * (a - c) + 4.0 * b * b)) / 2.0
     radius = jnp.sqrt(jnp.maximum(lam_max, 0.0)) * 3.0
@@ -187,7 +215,13 @@ def conic_and_rescale(cov2d: jnp.ndarray):
     af = a + COV2D_FILTER
     cf = c + COV2D_FILTER
     det = af * cf - b * b
-    rescale = jnp.sqrt(jnp.maximum(0.0, det_prefilter / det))
+    # double-where sqrt guard: a degenerate splat (det_prefilter == 0,
+    # e.g. exp(log_scale) underflow) keeps its forward rescale of exactly
+    # 0 but the VJP must not see d sqrt(0) = inf — even a zero cotangent
+    # would turn it into 0 * inf = NaN across d_log_scale/d_quat/d_xyz
+    ratio = jnp.maximum(0.0, det_prefilter / det)
+    rescale = jnp.where(
+        ratio > 0.0, jnp.sqrt(jnp.maximum(ratio, 1e-30)), 0.0)
     inv_det = 1.0 / det
     conic_a = cf * inv_det
     conic_b = -b * inv_det

@@ -161,7 +161,8 @@ def segment_reduce(
     """Per-point sums (N_padded_to_block, R).
 
     ``rows`` lanes not covered by any segment must be zero (not NaN);
-    segment ends must be <= cols.
+    segment ends must be <= cols. Sublane count R and the lane count are
+    padded internally (8-multiple / WINDOW-multiple respectively).
     """
     r_in = rows.shape[0]
     r = ((r_in + 7) // 8) * 8  # Mosaic DMAs need 8-multiple sublane counts
@@ -170,7 +171,11 @@ def segment_reduce(
             [rows, jnp.zeros((r - r_in, rows.shape[1]), rows.dtype)], axis=0)
     cols = rows.shape[1]
     win = min(WINDOW, cols)
-    assert cols % win == 0
+    if cols % win != 0:
+        # small eighth-octave key caps (< 2^15) need not divide the window;
+        # the pad lanes are zero and outside every segment
+        rows = jnp.pad(rows, ((0, 0), (0, win - cols % win)))
+        cols = rows.shape[1]
     n = offsets.shape[0]
     pb = min(POINT_BLOCK, max(((n + 127) // 128) * 128, 128))
     nb = (n + pb - 1) // pb

@@ -201,6 +201,28 @@ class TestTiling:
         np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gb[1]),
                                    atol=5e-3, rtol=1e-2)
 
+    def test_degenerate_splats_keep_gradients_finite(self):
+        """Collapsed scales (exp underflow), a point at the camera plane
+        (z ~ 0), and a point behind the camera must not leak NaN into ANY
+        gradient row — culling only zeroes their cotangents, and
+        0 * inf = NaN without the projection/rescale VJP guards."""
+        xyz, feats, _ = make_scene(64, seed=21)
+        xyz = xyz.at[0].set(jnp.asarray([0.1, 0.1, 1e-15]))   # on the plane
+        xyz = xyz.at[1].set(jnp.asarray([0.2, -0.1, -2.0]))   # behind
+        feats = feats.at[2, 4:7].set(-100.0)                  # exp underflow
+        feats = feats.at[3, 4:7].set(-100.0)
+        xyz = xyz.at[3].set(jnp.asarray([0.0, 0.0, 3.0]))     # on-axis too
+        invalid = jnp.zeros((64,), bool)
+        cam = make_camera()
+
+        def loss(x, f):
+            out = rasterize(x, f, invalid, Q_ID, T_ID, cam, CFG)
+            return jnp.sum(out.rgb)
+
+        gx, gf = jax.grad(loss, argnums=(0, 1))(xyz, feats)
+        assert bool(jnp.isfinite(gx).all()), np.asarray(gx)[:5]
+        assert bool(jnp.isfinite(gf).all())
+
     def test_inverse_permutation(self):
         slots = jnp.asarray(RNG.permutation(256).astype(np.int32))
         inv = tiling.inverse_permutation(slots)
