@@ -56,8 +56,11 @@ class RendererConfig:
 
     def __post_init__(self):
         if self.camera_intrinsics is None:
+            # the reference preset is 980x546 with the principal point at
+            # its center (490, 273); our tile crop is top-left anchored so
+            # K — including the principal point — stays the reference's
             self.camera_intrinsics = np.asarray(
-                [[581.743, 0.0, 488.0], [0.0, 581.743, 272.0], [0.0, 0.0, 1.0]],
+                [[581.743, 0.0, 490.0], [0.0, 581.743, 273.0], [0.0, 0.0, 1.0]],
                 np.float32,
             )
 
@@ -65,7 +68,7 @@ class RendererConfig:
         self.image_height = 976
         self.image_width = 544
         self.camera_intrinsics = np.asarray(
-            [[1163.486, 0.0, 272.0], [0.0, 1163.486, 488.0], [0.0, 0.0, 1.0]],
+            [[1163.486, 0.0, 273.0], [0.0, 1163.486, 490.0], [0.0, 0.0, 1.0]],
             np.float32,
         )
 
@@ -185,10 +188,15 @@ class GaussianPointRenderer:
                 yield i, np.asarray(jnp.round(rgb * 255).astype(jnp.uint8))
             return
         band = TILE * n_dev
-        h = self.height - self.height % band
+        # render UP to the next band multiple and crop the extra bottom
+        # rows afterwards: output frames keep the exact requested size
+        # regardless of the machine's device count (cropping the render
+        # height instead would silently change the frame shape)
+        h = ((self.height + band - 1) // band) * band
         camera = Camera(K=self.K, width=self.width, height=h)
         mesh = make_band_mesh(n_dev)
         scene = self.scene
+        out_h = self.height
 
         @jax.jit
         def render_one(q, t):
@@ -196,7 +204,7 @@ class GaussianPointRenderer:
                 scene.xyz, scene.features, scene.invalid, q, t, camera,
                 self.rcfg, mesh,
             )
-            return jnp.clip(out.rgb, 0.0, 1.0)
+            return jnp.clip(out.rgb[:out_h], 0.0, 1.0)
 
         for i in range(self.poses.shape[0]):
             rgb = render_one(qs[i], ts[i])
@@ -226,11 +234,16 @@ class GaussianPointRenderer:
 
         fn = jax.jit(shard_map(
             shard_fn, mesh=mesh, in_specs=(P("data"), P("data")),
-            out_specs=P("data"),
+            out_specs=P("data"), check_vma=False,  # Pallas calls inside
         ))
-        frames = np.asarray(jnp.round(fn(qs, ts) * 255).astype(jnp.uint8))
-        for i in range(n):
-            yield i, frames[i]
+        # stream one pose per device per dispatch: materializing the whole
+        # fly-through at once risks HBM OOM on long paths
+        for s in range(0, n + pad, d):
+            frames = np.asarray(jnp.round(
+                fn(qs[s:s + d], ts[s:s + d]) * 255).astype(jnp.uint8))
+            for j in range(d):
+                if s + j < n:
+                    yield s + j, frames[j]
 
     def run(self, output_prefix: Path):
         from PIL import Image
@@ -247,7 +260,7 @@ def load_poses_pt(path: str) -> np.ndarray:
     import torch
 
     return torch.load(path, map_location="cpu",
-                      weights_only=False).numpy().astype(np.float32)
+                      weights_only=True).numpy().astype(np.float32)
 
 
 def poses_from_dataset(json_path: str, gt_prefix: Optional[Path] = None):
@@ -264,6 +277,15 @@ def poses_from_dataset(json_path: str, gt_prefix: Optional[Path] = None):
     cameras = np.zeros((len(ds), 4, 4), np.float32)
     info = None
     for idx in range(len(ds)):
+        if gt_prefix is None and idx < len(ds) - 1:
+            # poses come straight from the records; only the LAST item is
+            # decoded (its camera_info carries the image-rescaled
+            # intrinsics) — decoding every frame here would add minutes of
+            # pointless IO on long datasets
+            cameras[idx] = np.asarray(
+                ds.records[idx]["T_pointcloud_camera"], np.float32
+            ).reshape(4, 4)
+            continue
         item = ds[idx]
         r = np.asarray(
             quaternion_to_rotation_matrix(jnp.asarray(item.q_pointcloud_camera))

@@ -18,9 +18,6 @@ import math
 
 import numpy as np
 
-K_FOCAL = 581.743
-K_WIDTH = 980
-K_HEIGHT = 546
 
 
 def pose_opencv_to_opengl(c2w: np.ndarray) -> np.ndarray:
@@ -122,7 +119,12 @@ def auto_orient_and_center_poses(
             [eigvec, eigvec @ -translation[..., None]], axis=-1)
         oriented = transform @ poses
         if oriented.mean(axis=0)[2, 1] < 0:
+            # the flip is a global left-multiplication by diag(1,-1,-1):
+            # it must apply to the returned transform too, or the caller's
+            # inverse maps the ellipse back through the unflipped frame
+            # (mirrored fly-through)
             oriented[:, 1:3] = -oriented[:, 1:3]
+            transform[1:3] = -transform[1:3]
     elif method in ("up", "vertical"):
         up = normalize(poses[:, :3, 1].mean(axis=0))
         if method == "vertical":

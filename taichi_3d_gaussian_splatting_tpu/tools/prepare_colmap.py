@@ -88,12 +88,16 @@ def read_cameras_binary(path: str) -> Dict[int, dict]:
 def read_images_txt(path: str) -> Dict[str, dict]:
     images = {}
     with open(path) as f:
-        lines = [ln for ln in f if not ln.startswith("#")]
-    # pairs of lines: meta, then 2D observations (ignored)
-    for i in range(0, len(lines) - 1, 2):
+        # drop comments AND blank lines: a stray blank would shift the
+        # meta/observations two-line pairing
+        lines = [ln for ln in f if ln.strip() and not ln.startswith("#")]
+    # pairs of lines: meta, then 2D observations (ignored); a trailing
+    # meta line without observations still counts
+    for i in range(0, len(lines), 2):
         fields = lines[i].split()
         if len(fields) < 10:
-            continue
+            raise ValueError(
+                f"malformed images.txt meta line {i}: {lines[i][:80]!r}")
         name = " ".join(fields[9:])
         images[name] = {
             "qvec": [float(x) for x in fields[1:5]],  # wxyz
@@ -185,7 +189,10 @@ def convert(base_path: str, image_path: str, output_dir: str,
     images, cameras, (xyz, rgb) = _load_model(base_path)
 
     records = []
-    for name, image in images.items():
+    # sorted by image name: COLMAP stores registration order, which is
+    # run-dependent — sorting keeps the every-8th split stable across
+    # reconstructions and .bin/.txt conversions
+    for name, image in sorted(images.items()):
         cam = cameras[int(image["camera_id"])]
         T_cam_world = np.eye(4)
         T_cam_world[:3, :3] = quaternion_wxyz_to_rotation(image["qvec"])
@@ -204,8 +211,14 @@ def convert(base_path: str, image_path: str, output_dir: str,
     if test_image_list_path:
         with open(test_image_list_path) as f:
             test_names = {ln.strip() for ln in f if ln.strip()}
-        is_train = [os.path.basename(r["image_path"]) not in test_names
-                    for r in records]
+        # match the COLMAP image name as written (may contain subdirs);
+        # basename-only matching breaks nested names and collides
+        # duplicates across subdirectories
+        is_train = [
+            name not in test_names
+            and os.path.basename(name) not in test_names
+            for name in sorted(images.keys())
+        ]
     else:
         is_train = [i % 8 != 0 for i in range(len(records))]  # every 8th val
 

@@ -243,6 +243,40 @@ class TestTrainerDP:
         assert np.isfinite(np.asarray(state.scene.features)).all()
 
 
+class TestPoseShardedRender:
+    def test_dp_render_matches_plain_loop(self, tmp_path):
+        """The renderer's pose-sharded path (shard_map over the device
+        mesh, streamed in device-sized batches) must match the plain
+        per-pose loop."""
+        import pandas as pd
+        from taichi_3d_gaussian_splatting_tpu.apps.render import (
+            GaussianPointRenderer, RendererConfig,
+        )
+        from taichi_3d_gaussian_splatting_tpu.models import scene as scene_lib
+
+        sc = make_scene(96, seed=17)
+        pq = tmp_path / "s.parquet"
+        scene_lib.to_parquet(sc, str(pq))
+        rng = np.random.default_rng(3)
+        poses = np.tile(np.eye(4, dtype=np.float32), (5, 1, 1))
+        poses[:, :3, 3] = rng.normal(0, 0.05, (5, 3))
+
+        def cfg(dp):
+            c = RendererConfig(parquet_paths=[str(pq)], data_parallel=dp)
+            c.image_height = 64
+            c.image_width = 64
+            c.camera_intrinsics = np.asarray(K32, np.float32)
+            return c
+
+        plain = {i: f for i, f in
+                 GaussianPointRenderer(cfg(False), poses).frames()}
+        dp = {i: f for i, f in
+              GaussianPointRenderer(cfg(True), poses).frames()}
+        assert sorted(dp.keys()) == sorted(plain.keys()) == list(range(5))
+        for i in range(5):
+            np.testing.assert_array_equal(dp[i], plain[i])
+
+
 class TestBandSharded:
     def test_matches_single_device_render(self):
         """Band-sharded output must equal the single-device render.
