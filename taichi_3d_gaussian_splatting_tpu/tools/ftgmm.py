@@ -122,6 +122,9 @@ def estimate_bbox(gmm: SceneGMM) -> Tuple[np.ndarray, np.ndarray]:
     return mu - 3.0 * std, mu + 3.0 * std
 
 
+_gmm_log_prob_jit = jax.jit(gmm_log_prob, static_argnames=("comp_chunk",))
+
+
 def sample_volume(gmm: SceneGMM, grid_size: int = 35,
                   chunk_size: int = 1) -> Tuple[jnp.ndarray, np.ndarray, np.ndarray]:
     """Probability volume on the bbox lattice (reference sample_gmm
@@ -132,10 +135,12 @@ def sample_volume(gmm: SceneGMM, grid_size: int = 35,
     coords = jnp.asarray(
         np.stack([gx, gy, gz], axis=-1).astype(np.float32))
 
-    lp_fn = jax.jit(lambda c: gmm_log_prob(gmm, c))
+    # module-level jit with the gmm as an ARGUMENT: a per-call lambda
+    # would bake the component arrays in as constants and recompile the
+    # whole chunked log-prob on every diagnostic invocation
     slices = []
     for i in range(0, grid_size, chunk_size):
-        slices.append(lp_fn(coords[i: i + chunk_size]))
+        slices.append(_gmm_log_prob_jit(gmm, coords[i: i + chunk_size]))
     log_volume = jnp.concatenate(slices, axis=0)
     return jnp.exp(log_volume), bbox_min, bbox_max
 

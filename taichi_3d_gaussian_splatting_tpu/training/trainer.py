@@ -583,8 +583,14 @@ class GaussianPointCloudTrainer:
             self.best_psnr_score = float(meta.get("best_psnr", 0.0))
             self._key_cap = int(meta.get("key_cap", self._key_cap))
             self._cand_scale = int(meta.get("cand_scale", self._cand_scale))
-            self.rng = jax.random.PRNGKey(int(meta.get("rng_seed",
-                                                       config.seed)))
+            if meta.get("rng_key") is not None:
+                # the LIVE key, not the seed: re-seeding would replay the
+                # exact densification random stream of iterations 0..k
+                self.rng = jnp.asarray(
+                    np.asarray(meta["rng_key"], np.uint32))
+            else:
+                self.rng = jax.random.PRNGKey(int(meta.get("rng_seed",
+                                                           config.seed)))
             print(f"resumed from {config.resume_from} at iteration "
                   f"{start_iteration}")
 
@@ -1049,7 +1055,8 @@ class GaussianPointCloudTrainer:
                  "best_psnr": self.best_psnr_score,
                  "key_cap": self._key_cap,
                  "cand_scale": self._cand_scale,
-                 "rng_seed": self.config.seed},
+                 "rng_seed": self.config.seed,
+                 "rng_key": np.asarray(self.rng).tolist()},
             )
         if mean_psnr > self.best_psnr_score:
             self.best_psnr_score = mean_psnr

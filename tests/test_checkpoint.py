@@ -30,7 +30,14 @@ class TestCheckpointRoundtrip:
         try:
             load_checkpoint(str(tmp_path / "ck"), {"a": jnp.ones((4,))})
             raise RuntimeError("should have raised")
-        except AssertionError:
+        except ValueError:  # data validation must survive python -O
+            pass
+        # dtype drift is rejected too
+        try:
+            load_checkpoint(str(tmp_path / "ck"),
+                            {"a": jnp.ones((3,), jnp.int32)})
+            raise RuntimeError("should have raised")
+        except ValueError:
             pass
 
 
