@@ -94,8 +94,10 @@ def main():
     # static scene + fixed pose, so no jitter headroom needed). The req is
     # only measured for windows existing at the probe's key_cap, and
     # partition mode must keep cand_scale=1 (window/VMEM sizing).
+    from taichi_3d_gaussian_splatting_tpu.ops.expand import MAX_CAND_SCALE
     scale = int(keys.cand_scale_req)
-    direct = 0 < scale <= 8 and int(keys.total) <= probe_cfg.key_cap
+    direct = (0 < scale <= MAX_CAND_SCALE
+              and int(keys.total) <= probe_cfg.key_cap)
     # rgb_only matches the reference benchmark protocol
     # (benchmark/inference_benchmark.py uses the rgb-only rasterizer)
     cfg = RasterizerConfig(tile_size=32, key_cap=cap, interpret=interpret,

@@ -106,8 +106,11 @@ class GaussianPointRenderer:
         # probe overflowed its own key_cap (scale unmeasurable there) —
         # and then keep cand_scale=1 so the expand kernel's windows and
         # VMEM scratch stay at their normal size.
+        from taichi_3d_gaussian_splatting_tpu.ops.expand import (
+            MAX_CAND_SCALE,
+        )
         scale += 1
-        mode = "direct" if 0 < scale <= 8 else "partition"
+        mode = "direct" if 0 < scale <= MAX_CAND_SCALE else "partition"
         self.rcfg = dataclasses.replace(
             self.rcfg, key_cap=cap, candidate_mode=mode,
             cand_scale=scale if mode == "direct" else 1)

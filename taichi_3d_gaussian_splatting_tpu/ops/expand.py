@@ -72,6 +72,9 @@ WKEYS = 4096     # key slots per grid step (fewer, fatter steps: the DMA
 SUBKEYS = 512    # key slots per inner matmul tile
 CAND_CAP = 4352  # candidate lanes DMA'd per step (>= WKEYS + 1 + 128 align)
 CSUB = 640       # candidate lanes per inner matmul tile (>= SUBKEYS+1+128)
+MAX_CAND_SCALE = 8  # direct-mode window-scale ceiling: VMEM scratch grows
+                 # (2, 16, CAND_CAP*scale) f32 (~557 KB/step); above this,
+                 # callers fall back to partition mode
 ALIGN = 128      # lane alignment of every dynamic slice
 PAD_OFF = float(1 << 30)  # off value of non-key-owning candidate lanes
 LOG255 = 5.541263545158426  # log(255): the 1/255 alpha-skip in log space
@@ -265,6 +268,7 @@ def expand_keys(
     lanes into the runs, so windows must span proportionally more lanes —
     the caller fits the scale from the span diagnostic (tiling.py)."""
     n_pad = cand.shape[1]
+    assert 1 <= cand_scale <= MAX_CAND_SCALE, cand_scale
     wk = window_size(key_cap)
     sub = min(SUBKEYS, wk)
     cand_cap = min(CAND_CAP * cand_scale, n_pad)

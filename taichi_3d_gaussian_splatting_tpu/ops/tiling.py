@@ -130,6 +130,20 @@ class TileKeys(NamedTuple):
                               # key_cap overflow does)
 
 
+def _exclusive_bounds(ids: jnp.ndarray, num_buckets: int,
+                      interpret: bool = False) -> jnp.ndarray:
+    """(num_buckets+1,) exclusive bucket bounds via histogram + cumsum.
+
+    The cumsum runs in f32: XLA's int32 cumsum serializes at
+    non-power-of-two lengths (~3.5 s at 428k on v5e); exact for counts
+    < 2^24, the bound bucket_histogram already asserts."""
+    hist = bucket_histogram(ids, num_buckets, interpret=interpret)
+    return jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.cumsum(hist.astype(jnp.float32)).astype(jnp.int32),
+    ])
+
+
 def _depth_bits(num_tiles: int) -> int:
     """Bits for the depth key beside the tile id in the fused int32 key."""
     tid_bits = max(int(num_tiles + 1).bit_length(), 1)
@@ -197,6 +211,11 @@ def build_tile_keys_and_table(
     # drops the depth column everywhere
     n_attr = 9 if (rgb_only and has_attrs) else 10
 
+    if candidate_mode not in ("partition", "direct"):
+        raise ValueError(f"unknown candidate_mode: {candidate_mode!r}")
+    if candidate_mode != "direct":
+        cand_scale = 1  # scale only sizes DIRECT windows; enforcing here
+        # keeps partition callers from paying scaled VMEM/matmul widths
     wk = expand_mod.window_size(key_cap)
     nw = key_cap // wk
     al = expand_mod.ALIGN
@@ -259,11 +278,7 @@ def build_tile_keys_and_table(
     # PAD_OFF); in direct mode every real lane counts — the kernel's
     # in-window reduction uses the same convention either way.
     wid = jnp.where(owning_n, jnp.minimum(off_s // wk, nw), nw)
-    hist = bucket_histogram(wid, nw, interpret=interpret)
-    cum = jnp.concatenate([
-        jnp.zeros((1,), jnp.int32),
-        jnp.cumsum(hist.astype(jnp.float32)).astype(jnp.int32),
-    ])
+    cum = _exclusive_bounds(wid, nw, interpret=interpret)
     lo = jnp.clip(cum[:-1] - 1, 0, n_pad - cand_cap)
     lo = (lo // al) * al
 
@@ -273,12 +288,7 @@ def build_tile_keys_and_table(
     sub = min(expand_mod.SUBKEYS, wk)
     nsub_tot = key_cap // sub
     wid_sub = jnp.minimum(offsets // sub, nsub_tot)
-    cum_sub = jnp.concatenate([
-        jnp.zeros((1,), jnp.int32),
-        jnp.cumsum(
-            bucket_histogram(wid_sub, nsub_tot, interpret=interpret)
-            .astype(jnp.float32)).astype(jnp.int32),
-    ])
+    cum_sub = _exclusive_bounds(wid_sub, nsub_tot, interpret=interpret)
     span_sub = jnp.max(
         cum_sub[1:] - jnp.maximum(cum_sub[:-1] - 1, 0)) + al
     if candidate_mode == "direct":
@@ -286,12 +296,8 @@ def build_tile_keys_and_table(
         # (original order, every real lane owning) — reuse its cumsum
         cum_win = cum
     else:
-        cum_win = jnp.concatenate([
-            jnp.zeros((1,), jnp.int32),
-            jnp.cumsum(bucket_histogram(jnp.minimum(offsets // wk, nw), nw,
-                                        interpret=interpret)
-                       .astype(jnp.float32)).astype(jnp.int32),
-        ])
+        cum_win = _exclusive_bounds(jnp.minimum(offsets // wk, nw), nw,
+                                    interpret=interpret)
     span_win = jnp.max(
         cum_win[1:] - jnp.maximum(cum_win[:-1] - 1, 0)) + al
     cand_scale_req = jnp.maximum(
@@ -367,11 +373,7 @@ def build_tile_keys_and_table(
         table = None
     tid_s = jax.lax.shift_right_logical(fused_s, dbits)
 
-    counts_t = bucket_histogram(tid_s, num_tiles, interpret=interpret)
-    bounds = jnp.concatenate([
-        jnp.zeros((1,), jnp.int32),
-        jnp.cumsum(counts_t.astype(jnp.float32)).astype(jnp.int32),
-    ])
+    bounds = _exclusive_bounds(tid_s, num_tiles, interpret=interpret)
 
     keys = TileKeys(
         point_idx=pidx_s,

@@ -516,14 +516,19 @@ class GaussianPointCloudTrainer:
         jitter between checks; shrink hysteresis bounds recompiles."""
         if req <= 0:
             return
+        from taichi_3d_gaussian_splatting_tpu.ops.expand import (
+            MAX_CAND_SCALE,
+        )
+
         want = req + 1
         cur = self._cand_scale
-        if want > 8:
+        if want > MAX_CAND_SCALE:
             new = 0  # too sparse for direct windows: partition fallback
         elif cur == 0:
             # enter direct mode only clear of the fallback cutoff, so a
-            # requirement hovering near 8 can't flap mode every check
-            if want > 6:
+            # requirement hovering near the ceiling can't flap mode every
+            # check
+            if want > MAX_CAND_SCALE - 2:
                 return
             new = want
         elif want > cur or want * 2 <= cur:

@@ -167,6 +167,51 @@ class TestTiling:
         np.testing.assert_array_equal(np.asarray(gp[0]), np.asarray(gd[0]))
         np.testing.assert_array_equal(np.asarray(gp[1]), np.asarray(gd[1]))
 
+    def test_under_scaled_direct_mode_drops_cleanly(self):
+        """Span overflow in direct mode must DEGRADE (surplus keys retired
+        to the sentinel) — never emit garbage keys: the rendered tiles'
+        blend ranges must be a strict subset of the correctly-scaled run's
+        keys (same tile totals or fewer, no foreign content)."""
+        import dataclasses
+        from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import (
+            build_keys, compute_raw_attrs,
+        )
+        n = 4000  # enough candidate lanes that sparse visibility spans
+        # multiple CSUB windows (400 would fit one window at scale 1)
+        xyz, feats, _ = make_scene(n, seed=9)
+        cam = make_camera(w=128, h=64)
+        rng = np.random.default_rng(2)
+        invalid = jnp.asarray(rng.random(n) > 0.05)
+        base = RasterizerConfig(tile_size=32, key_cap=4096, interpret=True)
+        raw, radius = compute_raw_attrs(xyz, feats, Q_ID, T_ID, cam)
+        keys_p, _, _ = build_keys(raw, radius, invalid, cam, base)
+        req = int(keys_p.cand_scale_req)
+        assert req > 1, "scene not sparse enough to exercise overflow"
+        good = dataclasses.replace(base, candidate_mode="direct",
+                                   cand_scale=req)
+        under = dataclasses.replace(base, candidate_mode="direct",
+                                    cand_scale=1)
+        kg, tg, _ = build_keys(raw, radius, invalid, cam, good)
+        ku, tu, _ = build_keys(raw, radius, invalid, cam, under)
+        live_g = int(jnp.sum(kg.tile_end - kg.tile_start))
+        live_u = int(jnp.sum(ku.tile_end - ku.tile_start))
+        assert live_u < live_g  # keys actually dropped
+        # every surviving (key, attr-column) of the under-scaled run must
+        # appear in the good run: compare multisets of fused-key+attr rows
+        def rowset(keys, table):
+            rows = []
+            ts, te = np.asarray(keys.tile_start), np.asarray(keys.tile_end)
+            tab = np.asarray(table)
+            for t in range(ts.shape[0]):
+                for s in range(ts[t], te[t]):
+                    rows.append((t,) + tuple(np.round(tab[:10, s], 5)))
+            return rows
+        good_rows = rowset(kg, tg)
+        under_rows = rowset(ku, tu)
+        from collections import Counter
+        cg, cu = Counter(good_rows), Counter(under_rows)
+        assert all(cu[r] <= cg[r] for r in cu), "foreign keys emitted"
+
     def test_blend_chunk_256_matches_128(self):
         """Larger blend DMA chunks stay within the oracle-gate tolerance
         class: chunk boundaries move the cumsum rounding splits and can
