@@ -366,6 +366,45 @@ class TestTrainerWiring:
         assert ev and os.path.getsize(tmp_path / "logs_sc" / ev[0]) > 1000
 
 
+class TestWindowScheduler:
+    def test_windows_respect_every_host_cadence(self):
+        """Walk the iteration counter the way train() does and check every
+        host-side cadence lands on a window boundary: %100 rebucket checks
+        run at window-END iterations only, and SH-band/downsample changes
+        must START a window (sh_band is fixed per window)."""
+        from taichi_3d_gaussian_splatting_tpu.training.trainer import (
+            GaussianPointCloudTrainer,
+        )
+
+        config = make_config(
+            steps_per_dispatch=8,
+            num_iterations=1300,
+            val_interval=400,
+            increase_color_max_sh_band_interval=300,
+            half_downsample_factor_interval=250,
+        )
+        # scheduler methods only need the config
+        tr = GaussianPointCloudTrainer.__new__(GaussianPointCloudTrainer)
+        tr.config = config
+        tr.mesh = None
+
+        it = -1
+        ends = set()
+        starts = set()
+        while it + 1 < config.num_iterations:
+            it += 1
+            w = tr._window_size(it)
+            starts.add(it)
+            it += w - 1
+            ends.add(it)
+        for k in range(0, config.num_iterations, 100):
+            assert k in ends, f"%100 check at {k} not a window end"
+        for k in range(300, config.num_iterations, 300):
+            assert k in starts, f"sh-band change at {k} not a window start"
+        for k in range(250, config.num_iterations, 250):
+            assert k in starts, f"downsample change at {k} not a window start"
+
+
 class TestScanWindow:
     def test_windowed_matches_single_step(self):
         """steps_per_dispatch windows replay the same per-step math."""
