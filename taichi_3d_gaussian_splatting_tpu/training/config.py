@@ -38,8 +38,30 @@ def _from_dict(cls: Type[T], data: Any) -> T:
             sub_cls = f.type if dataclasses.is_dataclass(f.type) else _NESTED[f.type]
             kwargs[name] = _from_dict(sub_cls, value)
         else:
-            kwargs[name] = value
+            kwargs[name] = _coerce_scalar(f.type, name, value)
     return cls(**kwargs)
+
+
+def _coerce_scalar(ftype, name: str, value):
+    """Coerce YAML scalars to the annotated field type.
+
+    PyYAML's safe_load follows YAML 1.1, where dotless exponents like
+    `1e-5` parse as STRINGS — the reference's dataclass_wizard coerced
+    them, so configs in the wild rely on it (e.g. learning rates)."""
+    if value is None:
+        return None
+    t = str(ftype).replace("Optional[", "").rstrip("]")
+    try:
+        if t == "float":
+            return float(value)
+        if t == "int":
+            return int(value)
+        if t == "bool" and isinstance(value, str):
+            return value.strip().lower() in ("1", "true", "yes", "on")
+    except (TypeError, ValueError) as e:
+        raise ValueError(
+            f"config field {name!r} expects {t}, got {value!r}") from e
+    return value
 
 
 @dataclass(frozen=True)
