@@ -65,7 +65,10 @@ def compute_point_attributes(
     R_cw = quaternion_to_rotation_matrix(q_cam)
 
     quat = features[:, 0:4]
-    quat = quat / jnp.linalg.norm(quat, axis=-1, keepdims=True)
+    # guarded normalize: zero-padded invalid rows would otherwise produce
+    # 0/0 = NaN whose VJP leaks past zero cotangents (0 * NaN)
+    quat = quat / jnp.maximum(
+        jnp.linalg.norm(quat, axis=-1, keepdims=True), 1e-12)
     log_scale = features[:, 4:7]
     alpha_logit = features[:, 7]
     sh = features[:, 8:56].reshape(-1, 3, 16)

@@ -56,7 +56,8 @@ def blend_dense(
     alpha_u = jnp.exp(expo) * (resc * opacity)[None, :]
     alpha_u = jnp.where(member, alpha_u, 0.0)
 
-    skip = alpha_u < ALPHA_SKIP_EPS
+    # not(>=) form catches NaN like the Pallas kernel does
+    skip = jnp.logical_not(alpha_u >= ALPHA_SKIP_EPS)
     a = jnp.where(skip, 0.0, straight_through_clamp(alpha_u))
 
     # P_i inclusive cumulative transmittance; T_i = exclusive.
@@ -96,10 +97,18 @@ def render_reference(xyz, features, invalid_mask, q_pointcloud_camera,
     visible = frustum_cull_mask(
         lax.stop_gradient(raw.uv), lax.stop_gradient(raw.depth), invalid_mask,
         camera.width, camera.height, cfg.near_plane, cfg.far_plane,
-        cfg.tile_size,
+        cfg.tile_size, boundary_tiles_v=cfg.cull_pad_v_tiles,
     )
     sg = lax.stop_gradient
-    dkey = (sg(raw.depth) * cfg.depth_to_sort_key_scale).astype(jnp.int32)
+    # mirror production's depth-key truncation (tiling.py _depth_bits +
+    # clip): beyond the key range, production orders by slot index
+    num_tiles = (camera.width // cfg.tile_size) * (
+        camera.height // cfg.tile_size)
+    dbits = tiling._depth_bits(num_tiles)
+    dkey = jnp.clip(
+        (sg(raw.depth) * cfg.depth_to_sort_key_scale).astype(jnp.int32),
+        0, (1 << dbits) - 1,
+    )
     dkey = jnp.where(visible, dkey, jnp.iinfo(jnp.int32).max)
     n = xyz.shape[0]
     order = lax.sort((dkey, jnp.arange(n, dtype=jnp.int32)), num_keys=1)[1]
@@ -121,9 +130,16 @@ def render_reference(xyz, features, invalid_mask, q_pointcloud_camera,
     pixel_xy = jnp.stack(
         [xs.reshape(-1) + 0.5, ys.reshape(-1) + 0.5], axis=-1
     ).astype(jnp.float32)
+    # mirror production's pre-kernel attribute sanitize (build_keys):
+    # a NaN row on a NON-member point would still poison every pixel via
+    # 0 * NaN in the weight matmuls
+    def fin(x):
+        return jnp.where(jnp.isfinite(x), x, 0.0)
+
     rgb, depth, alpha, count, _ = blend_dense(
-        pixel_xy, member, raw.uv[order], raw.conic[order],
-        raw.opacity[order], raw.color[order], raw.depth[order],
+        pixel_xy, member, fin(raw.uv[order]), fin(raw.conic[order]),
+        fin(raw.opacity[order]), fin(raw.color[order]),
+        fin(raw.depth[order]),
     )
     return (
         rgb.reshape(h, w_, 3), depth.reshape(h, w_), alpha.reshape(h, w_),

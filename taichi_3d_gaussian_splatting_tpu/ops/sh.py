@@ -5,7 +5,6 @@ Coefficients and sign conventions match the reference exactly.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 NUM_SH_COEFF = 16
@@ -20,7 +19,11 @@ def sh_basis(direction: jnp.ndarray) -> jnp.ndarray:
     The direction is normalized internally (reference normalizes in
     get_spherical_harmonic_from_xyz, SphericalHarmonics.py:13).
     """
-    d = direction / jnp.linalg.norm(direction, axis=-1, keepdims=True)
+    # guarded: a point exactly at the camera center (norm 0) must give a
+    # finite basis and finite VJP (0/0 = NaN would poison its gradients
+    # even under the zero cotangent culling gives it)
+    n = jnp.linalg.norm(direction, axis=-1, keepdims=True)
+    d = direction / jnp.maximum(n, 1e-12)
     x, y, z = d[..., 0], d[..., 1], d[..., 2]
     xx, yy, zz = x * x, y * y, z * z
     one = jnp.ones_like(x)
@@ -47,13 +50,6 @@ def sh_basis(direction: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def eval_sh_color(sh_coeffs: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
-    """Evaluate sigmoid(SH . basis(dir)) per channel.
-
-    sh_coeffs: (..., 3, 16), direction: (..., 3) -> rgb (..., 3).
-    Reference: GaussianPoint3D.py:333-349 (get_color_by_ray).
-    """
-    basis = sh_basis(direction)  # (..., 16)
-    raw = jnp.einsum("...ck,...k->...c", sh_coeffs, basis)
-    # jax.nn.sigmoid: same forward, NaN-free gradient when exp overflows
-    return jax.nn.sigmoid(raw)
+# NOTE: the production SH-color evaluation lives inline in
+# attributes.compute_point_attributes (mul-reduce form with sh_max_band
+# masking); a separate helper here would drift from those semantics.

@@ -72,6 +72,12 @@ def ssim(
     k2: float = 0.03,
 ) -> jnp.ndarray:
     """Mean SSIM of two (H, W, C) images; constants match pytorch_msssim."""
+    if img1.shape[0] < win_size or img1.shape[1] < win_size:
+        # valid-convolution output would be EMPTY and jnp.mean of it NaN —
+        # fail loudly instead of silently NaN-ing the training loss
+        raise ValueError(
+            f"SSIM needs images >= {win_size}px per side, got "
+            f"{img1.shape[0]}x{img1.shape[1]}")
     win = jnp.asarray(_gaussian_window(win_size, win_sigma))
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
