@@ -41,14 +41,15 @@ class SceneGMM(NamedTuple):
 
 
 def scene_to_gmm(scene: GaussianScene, min_scale: float = 1e-5,
-                 max_components: int | None = 20000,
+                 max_components: int | None = None,
                  seed: int = 0) -> SceneGMM:
     """Valid points -> mixture params (reference define_gmm :86-121).
 
-    ``max_components`` caps the mixture size by uniform subsampling: the
-    log-prob evaluation materializes (grid_chunk, N, 3) intermediates, and
-    an unbounded N can exhaust HBM mid-training (the analysis is a
-    diagnostic — a subsample preserves the spectrum it inspects)."""
+    The FULL mixture is analyzed by default (the reference analyzes every
+    valid component, FTGMM.py:86-121); both evaluation paths stream over
+    component chunks, so memory stays bounded at any N. ``max_components``
+    remains as an opt-in uniform subsample for callers that want a faster
+    diagnostic."""
     valid = np.asarray(~scene.invalid)
     xyz_np = np.asarray(scene.xyz)[valid]
     feats_np = np.asarray(scene.features)[valid]
@@ -166,30 +167,52 @@ def fourier_coords(grid_size: int, bbox_min: np.ndarray,
 
 
 def gmm_fourier(gmm: SceneGMM, k: jnp.ndarray, bbox_min, bbox_max,
-                freq_chunk: int = 1024) -> jnp.ndarray:
+                freq_chunk: int = 1024,
+                comp_chunk: int = 8192) -> jnp.ndarray:
     """Closed-form mixture Fourier transform at angular frequencies k
     (..., 3): F(k) = sum_i w_i exp(-i k.(mu_i - c) - k^T Sigma_i k / 2)
-    (reference transform_gmm_to_fourier1 :363-437). Frequencies stream in
-    chunks: the dense (K, N, 3) intermediate is ~8 GB at a 35^3 grid and
-    16k components."""
+    (reference transform_gmm_to_fourier1 :363-437). Both frequencies AND
+    components stream in chunks (the dense (K, N) intermediate is ~3 GB
+    complex64 at a 35^3 grid and 400k components); per-chunk partial sums
+    over components combine exactly, so the FULL mixture is analyzed at
+    bounded memory."""
     center = jnp.asarray((bbox_min + bbox_max) / 2.0, jnp.float32)
     flat = k.reshape(-1, 3).astype(jnp.float32)
     kn = flat.shape[0]
     nc = -(-kn // freq_chunk)
     flat = jnp.pad(flat, ((0, nc * freq_chunk - kn), (0, 0)))
-    shifted = gmm.means - center
-    w = jnp.exp(gmm.log_weights)
 
-    def chunk(fk):
-        phase = fk @ shifted.T                                # (C, N)
-        kr = jnp.einsum("kd,ndi->kni", fk, gmm.rot)           # k^T R
-        quad = jnp.sum((kr * gmm.scales[None]) ** 2, axis=-1)
-        return jnp.sum(
-            w[None, :] * jnp.exp(-0.5 * quad) * jnp.exp(-1j * phase),
-            axis=-1,
-        )
+    n = gmm.means.shape[0]
+    ncc = -(-n // comp_chunk)
+    pad = ncc * comp_chunk - n
 
-    f = jax.lax.map(chunk, flat.reshape(nc, freq_chunk, 3)).reshape(-1)[:kn]
+    def pad0(x, fill=0.0):
+        width = ((0, pad),) + ((0, 0),) * (x.ndim - 1)
+        return jnp.pad(x, width, constant_values=fill)
+
+    shifted = pad0(gmm.means - center).reshape(ncc, comp_chunk, 3)
+    rot = pad0(gmm.rot).reshape(ncc, comp_chunk, 3, 3)
+    scales = jnp.pad(gmm.scales, ((0, pad), (0, 0)),
+                     constant_values=1.0).reshape(ncc, comp_chunk, 3)
+    # padded components carry weight exp(-inf) = 0, so they contribute 0
+    w = pad0(jnp.exp(gmm.log_weights)).reshape(ncc, comp_chunk)
+
+    def freq_chunk_fn(fk):
+        def comp_chunk_fn(args):
+            mu, r, s, wc = args
+            phase = fk @ mu.T                                 # (C, Nc)
+            kr = jnp.einsum("kd,ndi->kni", fk, r)             # k^T R
+            quad = jnp.sum((kr * s[None]) ** 2, axis=-1)
+            return jnp.sum(
+                wc[None, :] * jnp.exp(-0.5 * quad) * jnp.exp(-1j * phase),
+                axis=-1,
+            )
+
+        partial = jax.lax.map(comp_chunk_fn, (shifted, rot, scales, w))
+        return jnp.sum(partial, axis=0)
+
+    f = jax.lax.map(freq_chunk_fn,
+                    flat.reshape(nc, freq_chunk, 3)).reshape(-1)[:kn]
     return f.reshape(k.shape[:-1])
 
 

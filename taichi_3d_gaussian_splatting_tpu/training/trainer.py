@@ -877,12 +877,26 @@ class GaussianPointCloudTrainer:
             row = {key: v[d] for key, v in metrics_stacked.items()}
             recent_losses.append(row["loss"])
             if k % config.log_loss_interval == 0:
-                self._scalar("train/loss", float(row["loss"]), k)
+                loss_val = float(row["loss"])
+                self._scalar("train/loss", loss_val, k)
                 self._scalar("train/l1 loss", float(row["l1"]), k)
                 self._scalar("train/ssim loss", 1.0 - float(row["ssim"]), k)
+                # same `key=value;` console protocol as non-window steps:
+                # the SageMaker-style metric scraper must see every log
+                # point regardless of steps_per_dispatch
+                self._console(
+                    train_iteration=k, train_loss=loss_val,
+                    train_l1_loss=float(row["l1"]),
+                    train_ssim_loss=1.0 - float(row["ssim"]),
+                )
             if k % config.log_metrics_interval == 0:
-                self._scalar("train/psnr", float(row["psnr"]), k)
-                self._scalar("train/ssim", float(row["ssim"]), k)
+                p = float(row["psnr"])
+                s = float(row["ssim"])
+                self._scalar("train/psnr", p, k)
+                self._scalar("train/ssim", s, k)
+                self._console(train_psnr=p, train_ssim=s,
+                              **{f"train_psnr_{k}": p,
+                                 f"train_ssim_{k}": s})
         return {key: v[-1] for key, v in metrics_stacked.items()}
 
     def _log_densify_scatter(self, info, aux, iteration: int) -> None:
