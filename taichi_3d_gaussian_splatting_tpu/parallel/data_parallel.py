@@ -64,23 +64,63 @@ def make_dp_train_step(config: TrainConfig, height: int, width: int,
     (collectives run per scan iteration over ICI) — the multi-chip analogue
     of trainer.make_train_step's dispatch windows, amortizing host round
     trips through remote-TPU tunnels. Metrics come back stacked (S,);
-    frame_stats reflect the LAST step (what the densifier consumes)."""
-    if config.pose_refinement:
-        raise ValueError("pose_refinement is single-device only")
+    frame_stats reflect the LAST step (what the densifier consumes).
+
+    Under ``config.pose_refinement`` the step additionally takes an (B,)
+    int32 image-index batch; per-image se(3) pose rows receive their own
+    camera's full (un-averaged) gradient — rows of a batch are disjoint
+    across devices, so the row-scattered gradients merge with one psum
+    (duplicate indices in a batch sum into one combined row gradient and
+    one Adam update)."""
     rcfg = config.rasterisation_config
     lcfg = config.loss_function_config
     feature_tx, position_tx = make_optimizers(config)
     gf = jnp.asarray(grad_factor_vector(rcfg))
+    pose_refine = config.pose_refinement
 
-    def per_device(state: TrainState, image_gt, q, t, K, sh_band):
+    def per_device(state: TrainState, image_gt, q, t, K, sh_band,
+                   img_idx=None):
         # leading batch axis is 1 on each device
         image_gt = image_gt[0]
         q, t, K = q[0], t[0], K[0]
         scene = state.scene
         camera = Camera(K=K, width=width, height=height)
+        if pose_refine:
+            idx = jnp.maximum(img_idx[0], 0)
+            on = img_idx[0] >= 0
+            delta = jnp.where(on, state.pose_deltas[idx], 0.0)
+
+            def pose_fn(d):
+                from taichi_3d_gaussian_splatting_tpu.ops.transforms import (
+                    apply_pose_delta,
+                )
+                return apply_pose_delta(q, t, d)
+
+            (q_used, t_used), pose_vjp = jax.vjp(pose_fn, delta)
+        else:
+            q_used, t_used = q, t
+        xyz_in, feats_in = scene.xyz, scene.features
+        if pose_refine:
+            # inert inputs for invalid (zero-padded) slots: their NaN
+            # Jacobians would poison the pose-gradient SUM over slots
+            # (same hardening as trainer.make_train_step)
+            from taichi_3d_gaussian_splatting_tpu.ops.transforms import (
+                quaternion_rotate,
+            )
+
+            inval_col = scene.invalid[:, None]
+            front = jax.lax.stop_gradient(
+                quaternion_rotate(q_used.reshape(4),
+                                  jnp.asarray([0.0, 0.0, 1.0]))
+                + t_used.reshape(3))
+            safe_row = jnp.concatenate(
+                [jnp.asarray([0.0, 0.0, 0.0, 1.0]), jnp.zeros((52,))])
+            xyz_in = jnp.where(inval_col, front[None, :], xyz_in)
+            feats_in = jnp.where(inval_col, safe_row[None, :], feats_in)
         out, ctx, attrs_vjp = rasterize_fwd_ctx(
-            scene.xyz, scene.features, scene.invalid, q, t, camera, rcfg,
+            xyz_in, feats_in, scene.invalid, q_used, t_used, camera, rcfg,
             sh_max_band=sh_band, point_object_id=scene.object_id,
+            with_pose_grads=pose_refine,
         )
         pred = jnp.clip(out.rgb, 0.0, 1.0)
 
@@ -95,25 +135,24 @@ def make_dp_train_step(config: TrainConfig, height: int, width: int,
         )(pred, scene.features)
         pass_mask = jnp.logical_and(out.rgb > 0.0, out.rgb < 1.0)
         d_rgb = jnp.where(pass_mask, d_pred, 0.0)
-        (d_xyz, d_features), stats = rasterize_bwd(
+        grads, stats = rasterize_bwd(
             ctx, attrs_vjp, d_rgb, camera, rcfg
         )
+        if pose_refine:
+            d_xyz, d_features, d_q, d_t = grads
+        else:
+            d_xyz, d_features = grads
         d_features = d_features * gf[None, :] + d_feat_reg
         valid = jnp.logical_not(scene.invalid)[:, None]
         d_xyz = jnp.where(valid, d_xyz, 0.0)
         d_features = jnp.where(valid, d_features, 0.0)
 
-        # ---- collectives: average param grads, sum densify stats --------
-        d_xyz = jax.lax.pmean(d_xyz, "data")
-        d_features = jax.lax.pmean(d_features, "data")
-        loss = jax.lax.pmean(loss, "data")
-        l1 = jax.lax.pmean(l1, "data")
-        ssim_v = jax.lax.pmean(ssim_v, "data")
-        train_psnr = jax.lax.pmean(psnr_fn(pred, image_gt), "data")
-
-        # per-camera accumulator contribution via the single source of
-        # truth (controller.accumulate, incl. its isfinite hardening),
-        # psum'd over the mesh before adding to the carried state
+        # per-CAMERA accumulator contribution (pre-pmean gradients: the
+        # reference accumulates each frame's own position gradient,
+        # GaussianPointAdaptiveController.py:130-146, and B cameras in a
+        # batch are B frames) via the single source of truth
+        # (controller.accumulate, incl. its isfinite hardening), psum'd
+        # over the mesh before adding to the carried state
         vis = stats.in_camera.astype(jnp.float32)
         contrib = ctrl.accumulate(
             ctrl.init_state(scene.capacity), stats.in_camera,
@@ -123,47 +162,129 @@ def make_dp_train_step(config: TrainConfig, height: int, width: int,
         ctrl_state = jax.tree.map(
             lambda cur, c: cur + jax.lax.psum(c, "data"), state.ctrl, contrib)
 
+        # ---- collectives: average param grads + metrics -----------------
+        d_xyz = jax.lax.pmean(d_xyz, "data")
+        d_features = jax.lax.pmean(d_features, "data")
+        loss = jax.lax.pmean(loss, "data")
+        l1 = jax.lax.pmean(l1, "data")
+        ssim_v = jax.lax.pmean(ssim_v, "data")
+        train_psnr = jax.lax.pmean(psnr_fn(pred, image_gt), "data")
+
         fu, feat_opt = feature_tx.update(d_features, state.feat_opt)
         pu, pos_opt = position_tx.update(d_xyz, state.pos_opt)
         scene = scene._replace(
             features=optax.apply_updates(scene.features, fu),
             xyz=optax.apply_updates(scene.xyz, pu),
         )
+
+        if pose_refine:
+            # per-image rows are disjoint across a camera batch: scatter
+            # each device's row gradient into the full table and psum —
+            # duplicate indices sum into one combined gradient. One masked
+            # Adam update per TOUCHED row (untouched rows keep momentum /
+            # bias-correction state, preserving the trainer's sparse-Adam
+            # semantics).
+            (d_delta,) = pose_vjp((d_q, d_t))
+            zeros_tbl = jnp.zeros_like(state.pose_deltas)
+            g_rows = zeros_tbl.at[idx].add(jnp.where(on, d_delta, 0.0))
+            g_rows = jax.lax.psum(g_rows, "data")
+            touched_f = jnp.zeros(
+                (state.pose_deltas.shape[0],), jnp.float32
+            ).at[idx].max(jnp.where(on, 1.0, 0.0))
+            touched_f = jax.lax.pmax(touched_f, "data")
+            touched = touched_f > 0
+            b1, b2, eps = 0.9, 0.999, 1e-8
+            po = state.pose_opt
+            mu2 = b1 * po["mu"] + (1.0 - b1) * g_rows
+            nu2 = b2 * po["nu"] + (1.0 - b2) * g_rows * g_rows
+            cnt2 = po["count"] + 1.0
+            mu_hat = mu2 / (1.0 - jnp.power(b1, cnt2))[:, None]
+            nu_hat = nu2 / (1.0 - jnp.power(b2, cnt2))[:, None]
+            move = -config.pose_learning_rate * mu_hat / (
+                jnp.sqrt(nu_hat) + eps)
+            tcol = touched[:, None]
+            pose_opt = {
+                "mu": jnp.where(tcol, mu2, po["mu"]),
+                "nu": jnp.where(tcol, nu2, po["nu"]),
+                "count": jnp.where(touched, cnt2, po["count"]),
+            }
+            pose_deltas = jnp.where(tcol, state.pose_deltas + move,
+                                    state.pose_deltas)
+        else:
+            pose_deltas, pose_opt = state.pose_deltas, state.pose_opt
+
         new_state = TrainState(scene=scene, feat_opt=feat_opt,
-                               pos_opt=pos_opt, ctrl=ctrl_state)
+                               pos_opt=pos_opt, ctrl=ctrl_state,
+                               pose_deltas=pose_deltas, pose_opt=pose_opt)
         metrics = {"loss": loss, "l1": l1, "ssim": ssim_v,
                    "psnr": train_psnr,
                    "num_keys": jax.lax.pmax(ctx.keys.total, "data"),
                    "cand_scale_req": jax.lax.pmax(
                        ctx.keys.cand_scale_req, "data")}
-        # max-reduced per-point stats for the densify pass (union over cameras)
+
+        # per-point "this frame" statistics for the densify pass.
+        # Selection stats use the visibility-weighted MEAN over the batch's
+        # cameras (with identical cameras this equals the single-device
+        # frame stats exactly — see tests); depth takes the MIN over
+        # visible cameras (the floater criterion is depth < threshold:
+        # union-of-frames semantics). Display arrays (pred/point_uv/...)
+        # come from camera 0 so densify scatter overlays stay consistent.
+        vis_count = jax.lax.psum(vis, "data")
+        safe = jnp.maximum(vis_count, 1.0)
+
+        def vis_mean(x):
+            return jax.lax.psum(vis * x, "data") / safe
+
+        is0 = jax.lax.axis_index("data") == 0
+
+        def cam0(x):
+            # camera-0's array, replicated: zero everywhere else then psum
+            return jax.lax.psum(jnp.where(is0, x, jnp.zeros_like(x)), "data")
+
         frame_stats = {
-            "in_camera": jax.lax.psum(vis, "data") > 0,
-            "num_affected_pixels": jax.lax.psum(
-                vis * stats.num_affected_pixels, "data"),
-            "magnitude_grad_viewspace": jax.lax.psum(
-                vis * stats.magnitude_grad_viewspace, "data"),
-            "point_depth": jax.lax.pmax(
-                jnp.where(stats.in_camera, ctx.raw.depth, -jnp.inf), "data"),
+            "in_camera": vis_count > 0,
+            "num_affected_pixels": vis_mean(stats.num_affected_pixels),
+            "magnitude_grad_viewspace": vis_mean(
+                stats.magnitude_grad_viewspace),
+            "grad_uv": jax.lax.psum(
+                vis[:, None] * stats.grad_uv, "data") / safe[:, None],
+            "num_overlap_tiles": jnp.round(vis_mean(
+                stats.num_overlap_tiles.astype(jnp.float32))
+            ).astype(jnp.int32),
+            "point_depth": jax.lax.pmin(
+                jnp.where(stats.in_camera, ctx.raw.depth, jnp.inf), "data"),
+            "point_uv": cam0(ctx.raw.uv),
+            "pred": cam0(pred),
+            "depth_img": cam0(out.depth),
+            "count_img": cam0(out.count),
+            "imggrad": cam0(stats.magnitude_grad_viewspace_on_image),
         }
         return new_state, metrics, frame_stats
 
-    def per_device_scanned(state, images, qs, ts, Ks, sh_band):
+    def per_device_scanned(state, images, qs, ts, Ks, sh_band,
+                           img_idxs=None):
         # per-device shapes (S, 1, ...): scan over the window axis
         def body(carry, xs):
-            img, q, t, K = xs
-            new_state, metrics, fs = per_device(carry[0], img, q, t, K,
-                                                sh_band)
+            if pose_refine:
+                img, q, t, K, idx = xs
+                new_state, metrics, fs = per_device(
+                    carry[0], img, q, t, K, sh_band, idx)
+            else:
+                img, q, t, K = xs
+                new_state, metrics, fs = per_device(carry[0], img, q, t, K,
+                                                    sh_band)
             return (new_state, fs), metrics
 
+        idx_a = (img_idxs[0],) if pose_refine else ()
         fs0 = jax.eval_shape(
             lambda st: per_device(st, images[0], qs[0], ts[0], Ks[0],
-                                  sh_band)[2],
+                                  sh_band, *idx_a)[2],
             state,
         )
         fs0 = jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), fs0)
+        xs = (images, qs, ts, Ks) + ((img_idxs,) if pose_refine else ())
         (new_state, fs), metrics = jax.lax.scan(
-            body, (state, fs0), (images, qs, ts, Ks), length=scan_steps
+            body, (state, fs0), xs, length=scan_steps
         )
         return new_state, metrics, fs
 
@@ -174,9 +295,12 @@ def make_dp_train_step(config: TrainConfig, height: int, width: int,
     else:
         batched = P("data")
         entry = per_device
+    in_specs = (replicated,) + (batched,) * 4 + (replicated,)
+    if pose_refine:
+        in_specs = in_specs + (batched,)
     sharded_step = shard_map(
         entry, mesh=mesh,
-        in_specs=(replicated, batched, batched, batched, batched, replicated),
+        in_specs=in_specs,
         out_specs=(replicated, replicated, replicated),
         check_vma=False,
     )

@@ -382,10 +382,6 @@ class GaussianPointCloudTrainer:
         self._step_cache = {}
         self._eval_cache = {}
         self.mesh = None
-        if config.pose_refinement and config.data_parallel_devices > 1:
-            raise ValueError(
-                "pose_refinement is single-device only (per-image sparse "
-                "pose updates don't combine across a camera batch)")
         if config.data_parallel_devices > 1:
             from taichi_3d_gaussian_splatting_tpu.parallel.data_parallel import (
                 make_mesh,
@@ -714,17 +710,23 @@ class GaussianPointCloudTrainer:
                     np.stack([it.camera_info.camera_intrinsics
                               for it in items]),
                 )
+                if config.pose_refinement:
+                    idxs = np.asarray(
+                        [pose_idx(it, iteration + d // per_step)
+                         for d, it in enumerate(items)], np.int32)
+                    stacked = stacked + (idxs,)
                 if window > 1:
                     # (S*B, ...) -> (S, B, ...): step s consumes cameras
                     # items[s*B:(s+1)*B]
                     stacked = tuple(
                         a.reshape((window, per_step) + a.shape[1:])
                         for a in stacked)
-                imgs, qs, ts, Ks = shard_batch(
+                sharded = shard_batch(
                     self.mesh, *stacked,
                     batch_axis=1 if window > 1 else 0)
                 state, metrics, frame_stats = step(
-                    state, imgs, qs, ts, Ks, jnp.asarray(sh_band, jnp.int32))
+                    state, *sharded[:4], jnp.asarray(sh_band, jnp.int32),
+                    *sharded[4:])
                 if window > 1:
                     metrics = self._emit_window_metrics(
                         metrics, iteration, window, recent_losses)
@@ -733,23 +735,21 @@ class GaussianPointCloudTrainer:
                     GradStats,
                 )
 
-                zero_img = jnp.zeros((h, w, 2), jnp.float32)
                 aux = {
-                    "pred": jnp.zeros((h, w, 3), jnp.float32),
-                    "depth": jnp.zeros((h, w), jnp.float32),
-                    "count": jnp.zeros((h, w), jnp.float32),
-                    "point_uv": jnp.zeros(
-                        (state.scene.capacity, 2), jnp.float32),
+                    "pred": frame_stats["pred"],
+                    "depth": frame_stats["depth_img"],
+                    "count": frame_stats["count_img"],
+                    "point_uv": frame_stats["point_uv"],
                     "point_depth": frame_stats["point_depth"],
                     "stats": GradStats(
-                        grad_uv=jnp.zeros((state.scene.capacity, 2)),
+                        grad_uv=frame_stats["grad_uv"],
                         magnitude_grad_viewspace=frame_stats[
                             "magnitude_grad_viewspace"],
                         num_affected_pixels=frame_stats["num_affected_pixels"],
-                        num_overlap_tiles=jnp.zeros(
-                            (state.scene.capacity,), jnp.int32),
+                        num_overlap_tiles=frame_stats["num_overlap_tiles"],
                         in_camera=frame_stats["in_camera"],
-                        magnitude_grad_viewspace_on_image=zero_img,
+                        magnitude_grad_viewspace_on_image=frame_stats[
+                            "imggrad"],
                     ),
                 }
 
@@ -857,7 +857,10 @@ class GaussianPointCloudTrainer:
                     problematic = True
                     self._last_problematic = iteration
             if (log_images_now or problematic) and self.writer is not None:
-                self._log_images(item, metrics, aux, iteration,
+                # DP aux images come from camera 0 of the last window step
+                log_item = (items[-per_step] if self.mesh is not None
+                            else items[-1])
+                self._log_images(log_item, metrics, aux, iteration,
                                  problematic=problematic)
 
             if (iteration % config.val_interval == 0 and iteration != 0) \

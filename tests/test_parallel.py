@@ -190,6 +190,197 @@ class TestDataParallel:
             np.asarray(fs_seq["in_camera"]))
 
 
+class TestDPDensifyFidelity:
+    def test_densify_selection_matches_single_device(self):
+        """find_densify on DP frame stats + accumulators must pick the SAME
+        points as the single-device step when the batch holds identical
+        cameras (vis-weighted-mean frame stats + ratio-form multi-frame
+        criteria make the selection invariant to the duplication)."""
+        config = make_config()
+        scene = make_scene()
+        rng = np.random.default_rng(1)
+        img = rng.random((HW, HW, 3)).astype(np.float32)
+
+        single = make_train_step(config, HW, HW)
+        s1, m1, aux1 = single(
+            init_state(config, make_scene()), jnp.asarray(img),
+            jnp.asarray(Q_ID, jnp.float32), jnp.zeros(3), jnp.asarray(K32),
+            jnp.asarray(3, jnp.int32),
+        )
+
+        mesh = make_mesh(2)
+        dp, _ = make_dp_train_step(config, HW, HW, mesh)
+        state = replicate(mesh, init_state(config, make_scene()))
+        imgs, qs, ts, Ks = shard_batch(
+            mesh, *batch([img, img], [Q_ID, Q_ID],
+                         [np.zeros(3), np.zeros(3)], [K32, K32]))
+        s2, m2, fs = dp(state, imgs, qs, ts, Ks, jnp.asarray(3, jnp.int32))
+
+        # frame stats equal the single-camera stats exactly
+        np.testing.assert_array_equal(
+            np.asarray(fs["in_camera"]), np.asarray(aux1["stats"].in_camera))
+        np.testing.assert_allclose(
+            np.asarray(fs["num_affected_pixels"]),
+            np.asarray(aux1["stats"].num_affected_pixels), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(fs["magnitude_grad_viewspace"]),
+            np.asarray(aux1["stats"].magnitude_grad_viewspace), rtol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(fs["grad_uv"]), np.asarray(aux1["stats"].grad_uv),
+            rtol=2e-5, atol=1e-12)
+        vis = np.asarray(aux1["stats"].in_camera)
+        np.testing.assert_allclose(
+            np.asarray(fs["point_depth"])[vis],
+            np.asarray(aux1["point_depth"])[vis], rtol=1e-6)
+
+        # selection with thresholds low enough that points actually fire
+        ccfg = ctrl.ControllerConfig(
+            densification_view_space_position_gradients_threshold=1e-7,
+            under_reconstructed_num_pixels_threshold=8,
+        )
+        info1 = ctrl.find_densify(
+            s1.scene, s1.ctrl, aux1["stats"].in_camera,
+            aux1["stats"].num_affected_pixels,
+            aux1["stats"].magnitude_grad_viewspace, aux1["point_depth"],
+            True, ccfg)
+        info2 = ctrl.find_densify(
+            s2.scene, s2.ctrl, fs["in_camera"], fs["num_affected_pixels"],
+            fs["magnitude_grad_viewspace"], fs["point_depth"], True, ccfg)
+        assert int(np.asarray(info1.densify_mask).sum()) > 0, (
+            "test thresholds selected nothing — not a meaningful check")
+        np.testing.assert_array_equal(np.asarray(info1.densify_mask),
+                                      np.asarray(info2.densify_mask))
+        np.testing.assert_array_equal(np.asarray(info1.remove_mask),
+                                      np.asarray(info2.remove_mask))
+        np.testing.assert_array_equal(np.asarray(info1.over_mask),
+                                      np.asarray(info2.over_mask))
+
+    def test_accumulators_sum_per_camera_gradients(self):
+        """With DIFFERENT cameras the controller accumulators must hold the
+        SUM of per-camera (pre-pmean) position gradients — B frames of the
+        reference's sequential accumulation — not n_dev x the pmean'd
+        global gradient."""
+        config = make_config()
+        rng = np.random.default_rng(2)
+        img_a = rng.random((HW, HW, 3)).astype(np.float32)
+        img_b = rng.random((HW, HW, 3)).astype(np.float32)
+        t_b = np.asarray([0.1, 0.0, -0.2], np.float32)
+
+        single = make_train_step(config, HW, HW)
+        sa, _, _ = single(
+            init_state(config, make_scene(seed=3)), jnp.asarray(img_a),
+            jnp.asarray(Q_ID, jnp.float32), jnp.zeros(3), jnp.asarray(K32),
+            jnp.asarray(3, jnp.int32))
+        sb, _, _ = single(
+            init_state(config, make_scene(seed=3)), jnp.asarray(img_b),
+            jnp.asarray(Q_ID, jnp.float32), jnp.asarray(t_b),
+            jnp.asarray(K32), jnp.asarray(3, jnp.int32))
+
+        mesh = make_mesh(2)
+        dp, _ = make_dp_train_step(config, HW, HW, mesh)
+        state = replicate(mesh, init_state(config, make_scene(seed=3)))
+        imgs, qs, ts, Ks = shard_batch(
+            mesh, *batch([img_a, img_b], [Q_ID, Q_ID],
+                         [np.zeros(3), t_b], [K32, K32]))
+        s2, _, _ = dp(state, imgs, qs, ts, Ks, jnp.asarray(3, jnp.int32))
+
+        np.testing.assert_allclose(
+            np.asarray(s2.ctrl.grad_position),
+            np.asarray(sa.ctrl.grad_position)
+            + np.asarray(sb.ctrl.grad_position),
+            rtol=2e-4, atol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(s2.ctrl.grad_position_norm),
+            np.asarray(sa.ctrl.grad_position_norm)
+            + np.asarray(sb.ctrl.grad_position_norm),
+            rtol=2e-4, atol=1e-10)
+
+
+class TestDPPoseRefinement:
+    def test_pose_rows_match_single_device(self):
+        """Two identical cameras mapped to image rows 0 and 1: each row's
+        sparse-Adam update must equal the single-device update for that
+        camera (pose gradients are per-image, never batch-averaged)."""
+        import dataclasses as dc
+
+        config = dc.replace(make_config(), pose_refinement=True,
+                            pose_learning_rate=1e-3,
+                            pose_refinement_warm_up=0)
+        rng = np.random.default_rng(4)
+        img = rng.random((HW, HW, 3)).astype(np.float32)
+
+        def pose_state(config, scene):
+            from taichi_3d_gaussian_splatting_tpu.training.trainer import (
+                init_pose_opt,
+            )
+            ftx, ptx = make_optimizers(config)
+            return TrainState(
+                scene=scene, feat_opt=ftx.init(scene.features),
+                pos_opt=ptx.init(scene.xyz),
+                ctrl=ctrl.init_state(scene.capacity),
+                pose_deltas=jnp.zeros((2, 6), jnp.float32),
+                pose_opt=init_pose_opt(2))
+
+        single = make_train_step(config, HW, HW)
+        s1, m1, _ = single(
+            pose_state(config, make_scene(seed=9)), jnp.asarray(img),
+            jnp.asarray(Q_ID, jnp.float32), jnp.zeros(3), jnp.asarray(K32),
+            jnp.asarray(3, jnp.int32), jnp.asarray(0, jnp.int32))
+
+        mesh = make_mesh(2)
+        dp, _ = make_dp_train_step(config, HW, HW, mesh)
+        state = replicate(mesh, pose_state(config, make_scene(seed=9)))
+        imgs, qs, ts, Ks, idxs = shard_batch(
+            mesh, *batch([img, img], [Q_ID, Q_ID],
+                         [np.zeros(3), np.zeros(3)], [K32, K32]),
+            jnp.asarray([0, 1], jnp.int32))
+        s2, m2, _ = dp(state, imgs, qs, ts, Ks, jnp.asarray(3, jnp.int32),
+                       idxs)
+
+        d1 = np.asarray(s1.pose_deltas)
+        d2 = np.asarray(s2.pose_deltas)
+        assert np.abs(d1[0]).max() > 0, "single-device pose never moved"
+        np.testing.assert_allclose(d2[0], d1[0], rtol=1e-4, atol=1e-9)
+        np.testing.assert_allclose(d2[1], d1[0], rtol=1e-4, atol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(s2.pose_opt["count"]), [1.0, 1.0])
+        # identical cameras: scene updates match the single-device step
+        np.testing.assert_allclose(
+            np.asarray(s2.scene.xyz), np.asarray(s1.scene.xyz), atol=1e-5)
+
+    def test_duplicate_index_sums_to_one_update(self):
+        import dataclasses as dc
+
+        config = dc.replace(make_config(), pose_refinement=True,
+                            pose_learning_rate=1e-3,
+                            pose_refinement_warm_up=0)
+        rng = np.random.default_rng(4)
+        img = rng.random((HW, HW, 3)).astype(np.float32)
+
+        from taichi_3d_gaussian_splatting_tpu.training.trainer import (
+            init_pose_opt,
+        )
+        ftx, ptx = make_optimizers(config)
+        scene = make_scene(seed=9)
+        state = TrainState(
+            scene=scene, feat_opt=ftx.init(scene.features),
+            pos_opt=ptx.init(scene.xyz), ctrl=ctrl.init_state(scene.capacity),
+            pose_deltas=jnp.zeros((2, 6), jnp.float32),
+            pose_opt=init_pose_opt(2))
+        mesh = make_mesh(2)
+        dp, _ = make_dp_train_step(config, HW, HW, mesh)
+        state = replicate(mesh, state)
+        imgs, qs, ts, Ks, idxs = shard_batch(
+            mesh, *batch([img, img], [Q_ID, Q_ID],
+                         [np.zeros(3), np.zeros(3)], [K32, K32]),
+            jnp.asarray([0, 0], jnp.int32))
+        s2, _, _ = dp(state, imgs, qs, ts, Ks, jnp.asarray(3, jnp.int32),
+                      idxs)
+        np.testing.assert_allclose(
+            np.asarray(s2.pose_opt["count"]), [1.0, 0.0])
+        assert np.abs(np.asarray(s2.pose_deltas)[1]).max() == 0.0
+
+
 class TestTrainerDP:
     def test_trainer_runs_data_parallel(self, tmp_path):
         import json
