@@ -104,6 +104,14 @@ class TrainConfig:
     jax_profiler_start_iteration: int = 200
     jax_profiler_num_iterations: int = 20
     data_parallel_devices: int = 1         # cameras sharded across a mesh
+    # multi-host SPMD (parallel/multihost.py): join jax.distributed and
+    # train over the GLOBAL device mesh (flat data axis over ICI + DCN),
+    # each host loading only its local devices' cameras. On TPU pods the
+    # coordinator fields may stay None (read from the environment).
+    multihost: bool = False
+    coordinator_address: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
     # camera pose refinement (the reference's open TODO, README.md:318 —
     # it declares pose grads but never computes them; we optimize a
     # per-train-image se(3) delta jointly with the scene)

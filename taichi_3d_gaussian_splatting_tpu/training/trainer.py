@@ -350,15 +350,39 @@ class GaussianPointCloudTrainer:
 
     def __init__(self, config: TrainConfig):
         self.config = config
+        # multihost bootstrap FIRST: jax.distributed must initialize before
+        # anything touches the backend
+        self.multihost = config.multihost
+        if self.multihost:
+            from taichi_3d_gaussian_splatting_tpu.parallel import (
+                multihost as mh,
+            )
+
+            mh.initialize(config.coordinator_address, config.num_processes,
+                          config.process_id)
+            import jax as _jax
+            if (config.num_processes or 1) > 1 and \
+                    _jax.process_count() != config.num_processes:
+                # e.g. a backend that ignores the cluster (each process
+                # would silently train an independent single-host job)
+                raise RuntimeError(
+                    f"multihost init expected {config.num_processes} "
+                    f"processes, backend reports {_jax.process_count()}")
+            self.is_main = mh.is_main()
+        else:
+            self.is_main = True
         os.makedirs(config.summary_writer_log_dir, exist_ok=True)
         self.output_model_dir = config.output_model_dir or config.summary_writer_log_dir
         os.makedirs(self.output_model_dir, exist_ok=True)
 
-        try:
-            from tensorboardX import SummaryWriter
-            self.writer = SummaryWriter(log_dir=config.summary_writer_log_dir)
-        except Exception:
-            self.writer = None
+        self.writer = None
+        if self.is_main:  # one writer/checkpoint owner per job
+            try:
+                from tensorboardX import SummaryWriter
+                self.writer = SummaryWriter(
+                    log_dir=config.summary_writer_log_dir)
+            except Exception:
+                self.writer = None
 
         tile = config.rasterisation_config.tile_size
         self.train_dataset = ImagePoseDataset(
@@ -382,7 +406,16 @@ class GaussianPointCloudTrainer:
         self._step_cache = {}
         self._eval_cache = {}
         self.mesh = None
-        if config.data_parallel_devices > 1:
+        if self.multihost:
+            from taichi_3d_gaussian_splatting_tpu.parallel import (
+                multihost as mh,
+            )
+
+            # every host must compile/run the same program every step:
+            # resolution is decided from metadata, identically everywhere
+            mh.check_uniform_resolution(self.train_dataset.records, tile)
+            self.mesh = mh.make_global_mesh()
+        elif config.data_parallel_devices > 1:
             from taichi_3d_gaussian_splatting_tpu.parallel.data_parallel import (
                 make_mesh,
             )
@@ -543,7 +576,7 @@ class GaussianPointCloudTrainer:
             self.writer.add_scalar(tag, float(value), iteration)
 
     def _console(self, **kv):
-        if self.config.print_metrics_to_console:
+        if self.config.print_metrics_to_console and self.is_main:
             for k, v in kv.items():
                 print(f"{k}={v};")
 
@@ -552,11 +585,26 @@ class GaussianPointCloudTrainer:
     def train(self):
         config = self.config
         tile = config.rasterisation_config.tile_size
-        loader = PrefetchLoader(
-            self.train_dataset, shuffle=True,
-            num_threads=config.num_data_threads, seed=config.seed,
-        )
-        data_iter = iter(loader)
+        if self.multihost:
+            import jax as _jax
+            from taichi_3d_gaussian_splatting_tpu.parallel import (
+                multihost as mh,
+            )
+
+            # shared-seed global index stream + local-slice pixel loading
+            self._mh_sampler = mh.GlobalShuffleSampler(
+                len(self.train_dataset), seed=config.seed)
+            self._mh_loader = mh.ThreadedIndexLoader(
+                self.train_dataset, num_threads=config.num_data_threads)
+            self._mh_local = len(_jax.local_devices())
+            self._mh_offset = mh.local_batch_offset()
+            data_iter = None
+        else:
+            loader = PrefetchLoader(
+                self.train_dataset, shuffle=True,
+                num_threads=config.num_data_threads, seed=config.seed,
+            )
+            data_iter = iter(loader)
 
         feature_tx, position_tx = make_optimizers(config)
         pose_deltas = pose_opt = None
@@ -595,6 +643,15 @@ class GaussianPointCloudTrainer:
             print(f"resumed from {config.resume_from} at iteration "
                   f"{start_iteration}")
 
+        if self.multihost:
+            # host-identical by construction (shared seed / checkpoint):
+            # commit the state to the GLOBAL mesh, replicated
+            from taichi_3d_gaussian_splatting_tpu.parallel import (
+                multihost as mh,
+            )
+
+            state = mh.global_replicate(self.mesh, state)
+
         ccfg = config.adaptive_controller_config
         downsample_factor = config.initial_downsample_factor
         for _ in range(start_iteration // config.half_downsample_factor_interval):
@@ -615,16 +672,31 @@ class GaussianPointCloudTrainer:
             window = self._window_size(iteration)
             per_step = (self.mesh.devices.size if self.mesh is not None
                         else 1)
-            items = []
-            for _ in range(per_step * window):
-                item = next(data_iter)
-                if downsample_factor > 1:
-                    item = downsample_item(item, downsample_factor, tile)
-                items.append(item)
+            if self.multihost:
+                # every host advances the SAME global index stream, loads
+                # pixels only for its local devices' rows
+                from taichi_3d_gaussian_splatting_tpu.parallel.multihost import (
+                    GlobalShuffleSampler,
+                )
+
+                gidx = self._mh_sampler.next_global(per_step * window)
+                lidx = GlobalShuffleSampler.local_slice(
+                    gidx, per_step, self._mh_local, self._mh_offset)
+                items = self._mh_loader.load(lidx)
+                rows_per_step = self._mh_local
+            else:
+                items = []
+                for _ in range(per_step * window):
+                    items.append(next(data_iter))
+                rows_per_step = per_step
+            if downsample_factor > 1:
+                items = [downsample_item(it, downsample_factor, tile)
+                         for it in items]
             item = items[-1]
             h, w = item.camera_info.camera_height, item.camera_info.camera_width
-            if any((it.camera_info.camera_height,
-                    it.camera_info.camera_width) != (h, w) for it in items):
+            if not self.multihost and any(
+                    (it.camera_info.camera_height,
+                     it.camera_info.camera_width) != (h, w) for it in items):
                 # mixed resolutions in the fetch: drop the window and keep
                 # only cameras matching the newest item's resolution,
                 # fetching more if the dp batch still needs filling (the
@@ -712,18 +784,27 @@ class GaussianPointCloudTrainer:
                 )
                 if config.pose_refinement:
                     idxs = np.asarray(
-                        [pose_idx(it, iteration + d // per_step)
+                        [pose_idx(it, iteration + d // rows_per_step)
                          for d, it in enumerate(items)], np.int32)
                     stacked = stacked + (idxs,)
                 if window > 1:
-                    # (S*B, ...) -> (S, B, ...): step s consumes cameras
-                    # items[s*B:(s+1)*B]
+                    # (S*B_local, ...) -> (S, B_local, ...): step s
+                    # consumes this host's rows of window step s
                     stacked = tuple(
-                        a.reshape((window, per_step) + a.shape[1:])
+                        a.reshape((window, rows_per_step) + a.shape[1:])
                         for a in stacked)
-                sharded = shard_batch(
-                    self.mesh, *stacked,
-                    batch_axis=1 if window > 1 else 0)
+                if self.multihost:
+                    from taichi_3d_gaussian_splatting_tpu.parallel.multihost import (
+                        global_shard_batch,
+                    )
+
+                    sharded = global_shard_batch(
+                        self.mesh, *stacked,
+                        batch_axis=1 if window > 1 else 0)
+                else:
+                    sharded = shard_batch(
+                        self.mesh, *stacked,
+                        batch_axis=1 if window > 1 else 0)
                 state, metrics, frame_stats = step(
                     state, *sharded[:4], jnp.asarray(sh_band, jnp.int32),
                     *sharded[4:])
@@ -773,8 +854,9 @@ class GaussianPointCloudTrainer:
             if warm and iteration % ccfg.num_iterations_reset_alpha == 0:
                 state = state._replace(scene=self.alpha_reset(state.scene))
 
-            # scene-as-GMM Fourier analysis (reference :188-189)
-            if iteration and iteration % 1234 == 0:
+            # scene-as-GMM Fourier analysis (reference :188-189); the
+            # scene is replicated, so one host's diagnostic covers the job
+            if iteration and iteration % 1234 == 0 and self.is_main:
                 try:
                     from taichi_3d_gaussian_splatting_tpu.tools.ftgmm import (
                         ft_grab_scene,
@@ -858,7 +940,9 @@ class GaussianPointCloudTrainer:
                     self._last_problematic = iteration
             if (log_images_now or problematic) and self.writer is not None:
                 # DP aux images come from camera 0 of the last window step
-                log_item = (items[-per_step] if self.mesh is not None
+                # (in multihost that is host 0's first local row, and only
+                # host 0 has a writer)
+                log_item = (items[-rows_per_step] if self.mesh is not None
                             else items[-1])
                 self._log_images(log_item, metrics, aux, iteration,
                                  problematic=problematic)
@@ -1060,6 +1144,12 @@ class GaussianPointCloudTrainer:
                       **{f"val_psnr_{iteration}": mean_psnr,
                          f"val_ssim_{iteration}": mean_ssim})
 
+        if not self.is_main:
+            # metrics above were computed (replicated) for best-PSNR
+            # bookkeeping consistency; writes belong to the main host
+            if mean_psnr > self.best_psnr_score:
+                self.best_psnr_score = mean_psnr
+            return state
         scene_path = os.path.join(self.output_model_dir,
                                   f"scene_{iteration}.parquet")
         scene_lib.to_parquet(state.scene, scene_path)
