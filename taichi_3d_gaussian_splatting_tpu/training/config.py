@@ -104,6 +104,9 @@ class TrainConfig:
     jax_profiler_start_iteration: int = 200
     jax_profiler_num_iterations: int = 20
     data_parallel_devices: int = 1         # cameras sharded across a mesh
+    tile_parallel_devices: int = 1         # ONE camera's tile rows sharded
+                                           # across a band mesh (large
+                                           # images; excludes data_parallel)
     # multi-host SPMD (parallel/multihost.py): join jax.distributed and
     # train over the GLOBAL device mesh (flat data axis over ICI + DCN),
     # each host loading only its local devices' cameras. On TPU pods the

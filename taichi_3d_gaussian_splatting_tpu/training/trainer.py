@@ -406,6 +406,23 @@ class GaussianPointCloudTrainer:
         self._step_cache = {}
         self._eval_cache = {}
         self.mesh = None
+        self.tp_mesh = None
+        if config.tile_parallel_devices > 1:
+            if (config.data_parallel_devices > 1 or config.multihost
+                    or config.pose_refinement):
+                raise ValueError(
+                    "tile_parallel_devices composes with neither "
+                    "data_parallel/multihost (pick one scaling axis) nor "
+                    "pose_refinement")
+            if config.steps_per_dispatch > 1:
+                raise ValueError(
+                    "tile_parallel training runs one dispatch per step "
+                    "(steps_per_dispatch must be 1)")
+            from taichi_3d_gaussian_splatting_tpu.parallel.tile_parallel import (
+                make_band_mesh,
+            )
+
+            self.tp_mesh = make_band_mesh(config.tile_parallel_devices)
         if self.multihost:
             from taichi_3d_gaussian_splatting_tpu.parallel import (
                 multihost as mh,
@@ -449,7 +466,17 @@ class GaussianPointCloudTrainer:
     def _get_step(self, h: int, w: int, scan_steps: int = 0):
         key = (h, w, self._key_cap, scan_steps, self._cand_scale)
         if key not in self._step_cache:
-            if self.mesh is not None:
+            if self.tp_mesh is not None:
+                from taichi_3d_gaussian_splatting_tpu.parallel.tile_parallel import (
+                    make_tp_train_step,
+                )
+
+                # band-sharded: same call signature as the single-device
+                # step (one camera), so the plain loop branch drives it
+                self._step_cache[key] = make_tp_train_step(
+                    self._active_config(with_candidate_mode=True), h, w,
+                    self.tp_mesh)[0]
+            elif self.mesh is not None:
                 from taichi_3d_gaussian_splatting_tpu.parallel.data_parallel import (
                     make_dp_train_step,
                 )
