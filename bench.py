@@ -103,10 +103,16 @@ def bench_train_step(xyz, feats, camera, rcfg):
     n = xyz.shape[0]
     config = TrainConfig(rasterisation_config=rcfg)
     step = make_train_step(config, HEIGHT, WIDTH, scan_steps=TIMED_TRAIN)
+    # the step DONATES its input state: each run needs fresh device copies
+    # (reusing the donated xyz/feats buffers raises deleted-array errors —
+    # surfaced as bare INVALID_ARGUMENT through the remote-TPU tunnel)
+    xyz_h = np.asarray(xyz)
+    feats_h = np.asarray(feats)
 
     def build_state():
         scene = GaussianScene(
-            xyz=xyz, features=feats, invalid=jnp.zeros((n,), bool),
+            xyz=jnp.asarray(xyz_h), features=jnp.asarray(feats_h),
+            invalid=jnp.zeros((n,), bool),
             object_id=jnp.zeros((n,), jnp.int32))
         ftx, ptx = make_optimizers(config)
         return TrainState(
@@ -215,13 +221,16 @@ def main():
             interpret=interpret,
             candidate_mode="direct" if direct else "partition",
             cand_scale=scale if direct else 1)
-        train_ms = bench_train_step(xyz, feats, camera, train_cfg)
-        result.update({
-            "train_step_ms": round(train_ms, 3),
-            "train_mpix_per_s": round(mpix / (train_ms / 1e3), 3),
-            "train_vs_t4_ci": round(REF_TRAIN_MS_T4 / train_ms, 3),
-            "train_timed_steps": TIMED_TRAIN,
-        })
+        try:
+            train_ms = bench_train_step(xyz, feats, camera, train_cfg)
+            result.update({
+                "train_step_ms": round(train_ms, 3),
+                "train_mpix_per_s": round(mpix / (train_ms / 1e3), 3),
+                "train_vs_t4_ci": round(REF_TRAIN_MS_T4 / train_ms, 3),
+                "train_timed_steps": TIMED_TRAIN,
+            })
+        except Exception as e:  # forward metric still ships
+            result["train_step_error"] = f"{type(e).__name__}: {e}"[:200]
 
     print(json.dumps(result))
 

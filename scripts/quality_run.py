@@ -79,7 +79,19 @@ def main():
                         "(radians rot / units trans) and enable pose "
                         "refinement — GT images keep the true poses, so "
                         "refinement must recover the perturbation")
+    parser.add_argument("--long", action="store_true",
+                        help="long-horizon preset: the full 30k-style "
+                        "trainer schedule compressed — 512px views with "
+                        "progressive downsample from 4x, SH band up to 3, "
+                        "alpha resets every 3000 its, floater removal "
+                        "after 2000, capacity-stressed pool — so every "
+                        "trainer cadence runs for real (default "
+                        "iterations become 10000)")
     args = parser.parse_args()
+    if args.long:
+        if args.iterations == 2001:
+            args.iterations = 10000
+        args.hw = 512
 
     from PIL import Image
     import pandas as pd
@@ -164,7 +176,7 @@ def main():
         GaussianPointCloudTrainer,
     )
 
-    config = from_dict({
+    cfg = {
         "train_dataset_json_path": f"{args.out}/train.json",
         "val_dataset_json_path": f"{args.out}/val.json",
         "pointcloud_parquet_path": f"{args.out}/point_cloud.parquet",
@@ -202,7 +214,32 @@ def main():
         "pose_refinement": args.pose_noise > 0,
         "pose_learning_rate": 1e-3,
         "pose_refinement_warm_up": 300,
-    })
+    }
+    if args.long:
+        # the 30k-style schedule, every trainer cadence live: progressive
+        # downsample from 4x at 512px, SH band ramp to 3, alpha resets
+        # (reference: every 3000), floater removal after 2000, and a pool
+        # tight enough that densification hits the capacity limiter
+        cfg.update({
+            "initial_downsample_factor": 4,
+            "half_downsample_factor_interval": 500,
+            "increase_color_max_sh_band_interval": 1000,
+            "val_interval": 1000,
+        })
+        cfg["adaptive_controller_config"].update({
+            "num_iterations_warm_up": 500,
+            "num_iterations_reset_alpha": 3000,
+            "reset_alpha_value": 0.1,
+            "transparent_alpha_threshold": -0.5,
+            "iteration_start_remove_floater": 2000,
+            "floater_num_pixels_threshold": 10000,
+            "floater_near_camrea_num_pixels_threshold": 10000,
+        })
+        cfg["gaussian_point_cloud_scene_config"].update({
+            "max_num_points_ratio": 6.0,
+            "add_sphere": True,
+        })
+    config = from_dict(cfg)
     trainer = GaussianPointCloudTrainer(config)
     t0 = time.time()
     state = trainer.train()

@@ -8,31 +8,41 @@ one-hot blocks on the VPU: ~1.5 ms.
 
 bounds = exclusive-cumsum(histogram) reproduces searchsorted(side='left')
 exactly because the ids are bucketed integers.
+
+The bucket axis is tiled by the grid (BCHUNK columns per step): the
+one-hot intermediate is (BLOCK, BCHUNK) = 8 MB of VMEM regardless of the
+bucket count — an un-tiled bucket axis OOMs the 16 MB scoped-VMEM stack
+once buckets exceed ~2k (observed at the 2^22-key-cap probe: 8192
+partition windows -> a 64 MB one-hot).
 """
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK = 2048  # keys per grid step
+BLOCK = 2048       # keys per grid step
+MAX_BCHUNK = 1024  # bucket columns per grid step (8 MB one-hot ceiling)
 
 
-def _kernel(ids_ref, out_ref, acc_ref, *, num_buckets_pad: int):
-    b = pl.program_id(0)
-    nb = pl.num_programs(0)
+def _kernel(ids_ref, out_ref, acc_ref, *, bchunk: int):
+    c = pl.program_id(0)
+    b = pl.program_id(1)
+    nb = pl.num_programs(1)
 
     @pl.when(b == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # padding/out-of-range lanes were mapped to num_buckets_pad by the
-    # host side, which matches no bucket column — no in-kernel masking
+    # padding/out-of-range lanes were mapped to the sentinel by the host
+    # side, which matches no bucket column — no in-kernel masking
     ids = ids_ref[:].reshape(BLOCK, 1)
     buckets = jax.lax.broadcasted_iota(
-        jnp.int32, (BLOCK, num_buckets_pad), 1
-    )
+        jnp.int32, (BLOCK, bchunk), 1
+    ) + c * bchunk
     onehot = (ids == buckets).astype(jnp.float32)
     acc_ref[:] = acc_ref[:] + jnp.sum(onehot, axis=0, keepdims=True)
 
@@ -51,30 +61,33 @@ def bucket_histogram(ids: jnp.ndarray, num_buckets: int,
     n = ids.shape[0]
     # f32 accumulator: counts above 2^24 would silently round
     assert n < 2 ** 24, f"histogram input too long for f32 counts: {n}"
-    nb_pad = ((num_buckets + 127) // 128) * 128
+    # bucket-chunk width: the 128-lane-rounded bucket count, capped so the
+    # per-step one-hot never exceeds BLOCK x MAX_BCHUNK f32 (8 MB VMEM)
+    nb128 = ((num_buckets + 127) // 128) * 128
+    bchunk = min(MAX_BCHUNK, nb128)
+    nb_pad = ((nb128 + bchunk - 1) // bchunk) * bchunk
+    sentinel = nb_pad  # outside every bucket chunk's iota range
     if n == 0:  # grid=(0,) would never write the output block
         return jnp.zeros((num_buckets,), jnp.int32)
     n_pad = ((n + BLOCK - 1) // BLOCK) * BLOCK
-    ids_p = jnp.pad(ids, (0, n_pad - n), constant_values=nb_pad)
+    ids_p = jnp.pad(ids, (0, n_pad - n), constant_values=sentinel)
     ids_p = jnp.where(
-        jnp.logical_and(ids_p >= 0, ids_p < num_buckets), ids_p, nb_pad
+        jnp.logical_and(ids_p >= 0, ids_p < num_buckets), ids_p, sentinel
     )
 
-    import functools
-
     out = pl.pallas_call(
-        functools.partial(_kernel, num_buckets_pad=nb_pad),
-        grid=(n_pad // BLOCK,),
+        functools.partial(_kernel, bchunk=bchunk),
+        grid=(nb_pad // bchunk, n_pad // BLOCK),
         in_specs=[
-            pl.BlockSpec((BLOCK,), lambda b: (b,),
+            pl.BlockSpec((BLOCK,), lambda c, b: (b,),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, nb_pad), lambda b: (0, 0),
+        out_specs=pl.BlockSpec((1, bchunk), lambda c, b: (c, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((1, nb_pad), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((1, bchunk), jnp.float32)],
         out_shape=jax.ShapeDtypeStruct((1, nb_pad), jnp.int32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(ids_p)

@@ -21,3 +21,9 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Keep f32 matmuls exact in oracle comparisons.
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compilation cache: the suite's cost is dominated by
+# re-compiling the same interpret-mode pipelines; repeat runs on this
+# host drop several-fold. (Not committed — see .gitignore.)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,4 +1,5 @@
 """Full-state checkpoint/resume tests (capability beyond the reference)."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -42,6 +43,7 @@ class TestCheckpointRoundtrip:
 
 
 class TestTrainerResume:
+    @pytest.mark.slow
     def test_resume_continues_training(self, tmp_path):
         """Train 4 iters (val@3 writes checkpoint_latest), resume to 6."""
         import json

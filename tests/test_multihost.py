@@ -70,6 +70,7 @@ class TestResolutionCheck:
         assert check_uniform_resolution(recs[:1], 32) == (544, 960)
 
 
+@pytest.mark.slow
 class TestTrainerMultihost:
     def test_train_cli_two_processes(self, tmp_path):
         """The real surface: two `apps.train` processes with multihost
@@ -164,6 +165,7 @@ class TestTrainerMultihost:
         assert "train_loss=" not in logs[1]
 
 
+@pytest.mark.slow
 class TestTwoProcessEquivalence:
     def test_matches_single_process(self, tmp_path):
         """2 processes x 4 devices == 1 process x 8 devices, same math."""

@@ -382,6 +382,7 @@ class TestDPPoseRefinement:
 
 
 class TestTrainerDP:
+    @pytest.mark.slow
     def test_trainer_runs_data_parallel(self, tmp_path):
         import json
         from PIL import Image
@@ -435,6 +436,7 @@ class TestTrainerDP:
 
 
 class TestPoseShardedRender:
+    @pytest.mark.slow
     def test_dp_render_matches_plain_loop(self, tmp_path):
         """The renderer's pose-sharded path (shard_map over the device
         mesh, streamed in device-sized batches) must match the plain
@@ -543,6 +545,8 @@ class TestTPTrainStep:
         np.testing.assert_allclose(np.asarray(aux2["point_uv"]),
                                    np.asarray(aux1["point_uv"]), atol=1e-4)
 
+    @pytest.mark.slow
+
     def test_trainer_runs_tile_parallel(self, tmp_path):
         import json
 
@@ -599,6 +603,7 @@ class TestTPTrainStep:
 
 
 class TestBandSharded:
+    @pytest.mark.slow
     def test_matches_single_device_render(self):
         """Band-sharded output must equal the single-device render.
 

@@ -127,6 +127,8 @@ class TestTiling:
         assert int(jnp.sum(keys.tile_end - keys.tile_start)) == min(
             int(keys.total), 6144)
 
+    @pytest.mark.slow
+
     def test_direct_candidate_mode_matches_partition(self):
         """Direct mode (no N-length partition sort) must reproduce the
         partition path bit-for-bit at the fitted candidate scale, at both
@@ -211,6 +213,8 @@ class TestTiling:
         from collections import Counter
         cg, cu = Counter(good_rows), Counter(under_rows)
         assert all(cu[r] <= cg[r] for r in cu), "foreign keys emitted"
+
+    @pytest.mark.slow
 
     def test_blend_chunk_256_matches_128(self):
         """Larger blend DMA chunks stay within the oracle-gate tolerance
@@ -385,6 +389,8 @@ class TestGradients:
                                    atol=5e-4, rtol=1e-3)
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gf_r),
                                    atol=5e-4, rtol=1e-3)
+
+    @pytest.mark.slow
 
     def test_explicit_bwd_matches_custom_vjp(self):
         xyz, feats, invalid = make_scene(100, seed=9)

@@ -5,6 +5,7 @@ camera-pose gradient test — the reference declares pose gradients but never
 computes them (grad_q/t = None, GaussianPointCloudRasterisation.py:1027);
 here they fall out of autodiff through the projection stage.
 """
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -115,6 +116,7 @@ class TestRayFromPixel:
 
 
 class TestCameraPoseGradients:
+    @pytest.mark.slow
     def test_pose_grads_match_oracle(self):
         """jax.grad through the production rasterizer wrt (q, t) equals the
         dense-oracle autodiff — pose optimization support the reference

@@ -91,6 +91,8 @@ class TestConvergence:
         late = np.mean(losses[-5:])
         assert late < 0.7 * early, f"{early} -> {late}"
 
+    @pytest.mark.slow
+
     def test_pose_refinement_recovers_perturbed_camera(self):
         """With the scene frozen, optimizing the per-image se(3) delta must
         undo a pose perturbation (the reference's open camera-pose TODO,
@@ -200,6 +202,8 @@ class TestConvergence:
             np.asarray(s_win.pose_deltas), np.asarray(s_seq.pose_deltas),
             atol=1e-7)
 
+    @pytest.mark.slow
+
     def test_densify_roundtrip_in_loop(self):
         """Controller integration: densify+prune mid-training keeps the
         pool consistent and training alive (reference
@@ -281,6 +285,8 @@ class TestTrainerWiring:
         pq = tmp_path / "points.parquet"
         df.to_parquet(pq)
         return tmp_path, str(train_json), str(val_json), str(pq)
+
+    @pytest.mark.slow
 
     def test_trainer_smoke(self, tiny_dataset):
         from taichi_3d_gaussian_splatting_tpu.training.trainer import (
@@ -406,6 +412,7 @@ class TestWindowScheduler:
 
 
 class TestScanWindow:
+    @pytest.mark.slow
     def test_windowed_matches_single_step(self):
         """steps_per_dispatch windows replay the same per-step math."""
         config = make_config()
