@@ -154,21 +154,24 @@ def _expand_kernel(
                 .astype(jnp.float32))  # (sub, 1) key slot ids, f32 exact
         member = jnp.logical_and(off <= gidc, gidc < off + cnt).astype(
             jnp.bfloat16)  # (sub, csub); 0/1 is exact in bf16
-        # Exact expansion (one nonzero per key column) in 3 native MXU
-        # passes instead of HIGHEST's 6+: split the f32 candidate values
-        # into three bf16 terms (Dekker splitting covers all 24 mantissa
-        # bits) and accumulate in f32.
+        # Exact expansion (one nonzero per key column): split the f32
+        # candidate values into three bf16 terms (Dekker splitting covers
+        # all 24 mantissa bits) and accumulate in f32 — CONCATENATED into
+        # ONE matmul (48 rows still fit a 128-sublane MXU tile; three
+        # separate M=16 passes each waste 7/8 of the array). With one
+        # nonzero per key column the per-term products are exact, so the
+        # hi+mid+lo sum reconstructs the f32 value exactly either way.
         hi = cs.astype(jnp.bfloat16)
         r1 = cs - hi.astype(jnp.float32)
         mid = r1.astype(jnp.bfloat16)
         lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        E = None
-        for part in (hi, mid, lo):
-            t = jax.lax.dot_general(
-                part, member, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            E = t if E is None else E + t
+        stacked = jnp.concatenate([hi, mid, lo], axis=0)  # (48, csub)
+        t3 = jax.lax.dot_general(
+            stacked, member, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (48, sub)
+        nr = cs.shape[0]
+        E = (t3[0:nr, :] + t3[nr:2 * nr, :]) + t3[2 * nr:3 * nr, :]
         # (16, sub)
 
         gid = (jnp.int32(sub_base)

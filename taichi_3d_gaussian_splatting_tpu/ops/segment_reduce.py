@@ -61,6 +61,29 @@ def dot_bf16x3(exact_bf16_lhs, rows_f32, dims):
         out = t if out is None else out + t
     return out
 
+
+def dot_bf16x3_fused(member, rows_f32):
+    """dot_bf16x3 for (PB, win) @ (R, win)^T with the three Dekker terms
+    CONCATENATED along R into ONE matmul: the MXU schedules 128-lane
+    output tiles, so three passes at R=16 each waste 7/8 of the array —
+    one pass at 3R=48 columns does the same flops-that-matter in a third
+    of the array time. Each per-term product is identical to dot_bf16x3's;
+    only the f32 sum order changes (terms combine before the window
+    accumulator instead of interleaved with it) — a <= 1-ulp-class
+    reassociation, well inside the gradient tests' tolerances.
+    """
+    r = rows_f32.shape[0]
+    lhs = member.astype(jnp.bfloat16)
+    hi = rows_f32.astype(jnp.bfloat16)
+    r1 = rows_f32 - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    stacked = jnp.concatenate([hi, mid, lo], axis=0)        # (3R, win)
+    out = jax.lax.dot_general(
+        lhs, stacked, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (PB, 3R)
+    return (out[:, 0:r] + out[:, r:2 * r]) + out[:, 2 * r:3 * r]
+
 WINDOW = 1024        # lanes per DMA/matmul step
 POINT_BLOCK = 1024
 
@@ -141,8 +164,7 @@ def _kernel(
         lo_w = jnp.maximum(off_lo, lo_al + w * win)
         hi_w = jnp.minimum(off_hi, lo_al + (w + 1) * win)
         member = jnp.logical_and(gid >= lo_w, gid < hi_w)
-        return acc + dot_bf16x3(
-            member, row_ref[slot], (((1,), (1,)), ((), ())))
+        return acc + dot_bf16x3_fused(member, row_ref[slot])
 
     out_ref[0] = jax.lax.fori_loop(
         0, nwin, body,
