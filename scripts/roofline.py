@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 HBM_GBS = 819.0       # v5e HBM bandwidth
 MXU_TFLOPS = 197.0    # v5e bf16 peak
-ITERS = 10
+ITERS = 100
 
 Q_ID = jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32)
 T_ID = jnp.asarray([0.0, 0.0, 0.0], jnp.float32)
