@@ -27,9 +27,9 @@ def bench(fn, *args, name=""):
             a2 = list(a)
             a2[0] = a2[0] + carry * 0.0
             out = fn(*a2)
-            leaves = [l for l in jax.tree.leaves(out)
-                      if jnp.issubdtype(l.dtype, jnp.floating)]
-            return leaves[0].ravel()[0].astype(jnp.float32)
+            # consume EVERY leaf or XLA dead-code-eliminates the rest
+            leaves = jax.tree.leaves(out)
+            return sum(l.ravel()[0].astype(jnp.float32) for l in leaves)
         return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
 
     out = run(*args)

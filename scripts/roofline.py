@@ -37,11 +37,11 @@ T_ID = jnp.asarray([0.0, 0.0, 0.0], jnp.float32)
 def bench_injit(stage_fn, perturb_arg, *args):
     """In-jit fori_loop chain timing (see scripts/tpu_breakdown.py)."""
     def probe(out):
-        leaves = [l for l in jax.tree.leaves(out)
-                  if jnp.issubdtype(l.dtype, jnp.floating)]
-        if not leaves:
-            leaves = [jax.tree.leaves(out)[0].astype(jnp.float32)]
-        return leaves[0].ravel()[0].astype(jnp.float32)
+        # consume EVERY leaf: probing only one output lets XLA dead-code
+        # eliminate the rest of the stage (caught via a 0.2 ms "full
+        # attrs" at 2M points)
+        leaves = jax.tree.leaves(out)
+        return sum(l.ravel()[0].astype(jnp.float32) for l in leaves)
 
     def nudge(tree, carry):
         done = [False]
