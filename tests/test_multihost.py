@@ -112,12 +112,13 @@ class TestTrainerMultihost:
             "train_dataset_json_path": str(tmp_path / "train.json"),
             "val_dataset_json_path": str(tmp_path / "val.json"),
             "pointcloud_parquet_path": str(tmp_path / "pc.parquet"),
-            "num_iterations": 3,
-            "val_interval": 2,
+            "num_iterations": 5,
+            "val_interval": 4,
             "initial_downsample_factor": 1,
             "print_metrics_to_console": True,
             "log_loss_interval": 1,
             "save_full_checkpoint": False,
+            "steps_per_dispatch": 2,  # windows x multihost batching
             "multihost": True,
             "coordinator_address": f"127.0.0.1:{port}",
             "num_processes": 2,
@@ -157,9 +158,9 @@ class TestTrainerMultihost:
             logs.append(stdout)
             assert p.returncode == 0, f"trainer failed:\n{stdout[-5000:]}"
         # main host wrote checkpoints; the non-main host did not
-        assert (tmp_path / "logs_0" / "scene_2.parquet").exists(), \
+        assert (tmp_path / "logs_0" / "scene_4.parquet").exists(), \
             logs[0][-3000:]
-        assert not (tmp_path / "logs_1" / "scene_2.parquet").exists()
+        assert not (tmp_path / "logs_1" / "scene_4.parquet").exists()
         # console metrics only on main
         assert "train_loss=" in logs[0]
         assert "train_loss=" not in logs[1]

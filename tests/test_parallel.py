@@ -348,6 +348,63 @@ class TestDPPoseRefinement:
         np.testing.assert_allclose(
             np.asarray(s2.scene.xyz), np.asarray(s1.scene.xyz), atol=1e-5)
 
+    def test_pose_scan_window_matches_sequential(self):
+        """Pose refinement inside a DP dispatch window (lax.scan) must
+        replay two sequential DP pose steps."""
+        import dataclasses as dc
+
+        config = dc.replace(make_config(), pose_refinement=True,
+                            pose_learning_rate=1e-3,
+                            pose_refinement_warm_up=0)
+        rng = np.random.default_rng(8)
+        imgs4 = [rng.random((HW, HW, 3)).astype(np.float32)
+                 for _ in range(4)]
+        idxs4 = [0, 1, 1, 0]
+
+        from taichi_3d_gaussian_splatting_tpu.training.trainer import (
+            init_pose_opt,
+        )
+
+        def pose_state():
+            ftx, ptx = make_optimizers(config)
+            scene = make_scene(seed=21)
+            return TrainState(
+                scene=scene, feat_opt=ftx.init(scene.features),
+                pos_opt=ptx.init(scene.xyz),
+                ctrl=ctrl.init_state(scene.capacity),
+                pose_deltas=jnp.zeros((2, 6), jnp.float32),
+                pose_opt=init_pose_opt(2))
+
+        mesh = make_mesh(2)
+        sh3 = jnp.asarray(3, jnp.int32)
+
+        dp, _ = make_dp_train_step(config, HW, HW, mesh)
+        state = replicate(mesh, pose_state())
+        for s in range(2):
+            b = shard_batch(
+                mesh, *batch(imgs4[2 * s:2 * s + 2], [Q_ID, Q_ID],
+                             [np.zeros(3)] * 2, [K32, K32]),
+                jnp.asarray(idxs4[2 * s:2 * s + 2], jnp.int32))
+            state, m, _ = dp(state, *b[:4], sh3, b[4])
+
+        dpw, _ = make_dp_train_step(config, HW, HW, mesh, scan_steps=2)
+        statew = replicate(mesh, pose_state())
+        stacked = batch(imgs4, [Q_ID] * 4, [np.zeros(3)] * 4, [K32] * 4)
+        stacked = stacked + (jnp.asarray(idxs4, jnp.int32),)
+        stacked = tuple(a.reshape((2, 2) + a.shape[1:]) for a in stacked)
+        bw = shard_batch(mesh, *stacked, batch_axis=1)
+        statew, mw, _ = dpw(statew, *bw[:4], sh3, bw[4])
+
+        np.testing.assert_allclose(
+            np.asarray(statew.pose_deltas), np.asarray(state.pose_deltas),
+            rtol=1e-5, atol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(statew.pose_opt["count"]),
+            np.asarray(state.pose_opt["count"]))
+        np.testing.assert_allclose(
+            np.asarray(statew.scene.xyz), np.asarray(state.scene.xyz),
+            atol=1e-7)
+
     def test_duplicate_index_sums_to_one_update(self):
         import dataclasses as dc
 
