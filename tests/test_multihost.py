@@ -125,7 +125,15 @@ class TestTrainerMultihost:
             "rasterisation_config": {"tile_size": 32, "key_cap": 2048,
                                      "interpret": True},
             "loss_function_config": {"enable_regularization": False},
-            "adaptive_controller_config": {"num_iterations_warm_up": 100},
+            # densify at iteration 2 and 4, alpha reset at 4: the
+            # find/apply/reset jits must accept mixed global-mesh +
+            # host-local (rng key) inputs in the multi-process runtime
+            "adaptive_controller_config": {
+                "num_iterations_warm_up": 1,
+                "num_iterations_densify": 2,
+                "num_iterations_reset_alpha": 4,
+                "iteration_start_remove_floater": 3,
+            },
         }
         procs = []
         for pid in (0, 1):
