@@ -187,7 +187,13 @@ def main():
             table, keys.tile_start, keys.tile_end, g4, cfin)[0]
 
     def bwd_tail(d_sorted, keys):
-        d_orig = tiling.regroup_rows_by_slot(d_sorted, keys.orig_slot,
+        # mirror rasterizer._blend_bwd_impl EXACTLY: only the 11
+        # meaningful rows ride the regroup sort (11 + the slot key = 12
+        # operands, at the variadic-sort budget; regrouping the full
+        # 16-row table would be a 17-operand sort, 3x past the cliff —
+        # an earlier version of this script measured that by mistake)
+        d_rows = jnp.concatenate([d_sorted[0:9], d_sorted[10:12]], axis=0)
+        d_orig = tiling.regroup_rows_by_slot(d_rows, keys.orig_slot,
                                              cfg.key_cap)
         return segment_reduce(d_orig, keys.offsets, keys.counts)
 

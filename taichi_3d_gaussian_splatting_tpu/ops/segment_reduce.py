@@ -85,7 +85,11 @@ def dot_bf16x3_fused(member, rows_f32):
     return (out[:, 0:r] + out[:, r:2 * r]) + out[:, 2 * r:3 * r]
 
 WINDOW = 1024        # lanes per DMA/matmul step
-POINT_BLOCK = 1024
+POINT_BLOCK = 512    # points per grid step (swept on-chip at bench shapes:
+                     # 512/1024 = 2.09 ms vs 1024/1024 = 2.55 ms vs
+                     # 2048/1024 = 3.76 ms — smaller blocks cut the
+                     # per-window matmul/mask cost faster than the extra
+                     # grid steps add overhead; scripts/segreduce_tune.py)
 
 
 def _kernel(
