@@ -82,7 +82,10 @@ def bucket_histogram(ids: jnp.ndarray, num_buckets: int,
             pl.BlockSpec((BLOCK,), lambda c, b: (b,),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bchunk), lambda c, b: (c, 0),
+        # block index map is in BLOCK units: bucket chunk c is COLUMN
+        # block c of the 1-row output — (c, 0) would address row c and
+        # fault/corrupt whenever more than one bucket chunk exists
+        out_specs=pl.BlockSpec((1, bchunk), lambda c, b: (0, c),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((1, bchunk), jnp.float32)],
         out_shape=jax.ShapeDtypeStruct((1, nb_pad), jnp.int32),
