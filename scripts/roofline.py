@@ -144,7 +144,11 @@ def main():
     # expand kernel writes key+10 cols+slot (12*4B per cap lane), the sort
     # moves 12 operands x cap lanes through ~log2(cap) merge passes
     # (read+write each pass), histogram reads cap ids once
-    ms = bench_injit(lambda r, rad: build_keys(r, rad, invalid, cam, cfg)[1],
+    # consume the WHOLE tuple (keys pytree + table + visible): probing
+    # only the table lets XLA prune unused sort outputs AND the whole
+    # tile-range histogram/cumsum stage (variadic-sort outputs are
+    # individually dead-code-eliminable)
+    ms = bench_injit(lambda r, rad: build_keys(r, rad, invalid, cam, cfg),
                      1, raw, radius)
     passes = int(np.ceil(np.log2(max(cap, 2))))
     sort_bytes = 2 * passes * 12 * 4 * cap
