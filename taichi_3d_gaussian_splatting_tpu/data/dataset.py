@@ -190,7 +190,16 @@ class PrefetchLoader:
                     return
                 if not acquire_interruptible(ticket):
                     return
-                pending.put(pool.submit(decode, idx))
+                # the consumer's finally may shut the pool down between
+                # the acquire above and this submit — treat the resulting
+                # RuntimeError ("cannot schedule new futures after
+                # shutdown") as a stop signal, not a crash
+                if stop.is_set():
+                    return
+                try:
+                    pending.put(pool.submit(decode, idx))
+                except RuntimeError:
+                    return
 
         def collector():
             while True:

@@ -343,11 +343,18 @@ def rasterize(
     cfg: RasterizerConfig,
     sh_max_band=3,
     point_object_id: Optional[jnp.ndarray] = None,
-) -> RasterizeOutput:
+    return_num_keys: bool = False,
+):
     """Differentiable rendering of the scene into a camera view.
 
     Equivalent of GaussianPointCloudRasterisation.forward (:1184-1204);
     requires camera.width/height divisible by cfg.tile_size.
+
+    With ``return_num_keys`` also returns the TRUE tile-key total (int32
+    scalar, may exceed cfg.key_cap) so callers can detect silent key drops
+    and refit the static capacity — the reference sizes its buffers to the
+    exact per-frame M (GaussianPointCloudRasterisation.py:873-884), so it
+    has no equivalent failure mode.
     """
     assert camera.width % cfg.tile_size == 0
     assert camera.height % cfg.tile_size == 0
@@ -359,7 +366,10 @@ def rasterize(
     tile = cfg.tile_size
     grid_hw = (camera.width // tile, camera.height // tile)
     out_tiles = _blend_core(raw, table, keys, tile, grid_hw, cfg)
-    return _assemble(out_tiles, camera, cfg)
+    out = _assemble(out_tiles, camera, cfg)
+    if return_num_keys:
+        return out, keys.total
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -47,6 +47,13 @@ from taichi_3d_gaussian_splatting_tpu.training.trainer import (
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
+    """Flat "data" mesh over a prefix of jax.devices().
+
+    INVARIANT: mesh position i holds batch row i (shard_batch shards the
+    leading axis in mesh order), and in particular mesh device 0 == batch
+    row 0. The trainer's image logging and the DP frame_stats' cam0
+    selection rely on this — any custom device subset passed here must
+    keep jax.devices() order."""
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
@@ -70,8 +77,8 @@ def make_dp_train_step(config: TrainConfig, height: int, width: int,
     int32 image-index batch; per-image se(3) pose rows receive their own
     camera's full (un-averaged) gradient — rows of a batch are disjoint
     across devices, so the row-scattered gradients merge with one psum
-    (duplicate indices in a batch sum into one combined row gradient and
-    one Adam update)."""
+    (duplicate indices in a batch average into one combined row gradient
+    and one Adam update — see the touch-count division below)."""
     rcfg = config.rasterisation_config
     lcfg = config.loss_function_config
     feature_tx, position_tx = make_optimizers(config)
@@ -188,11 +195,17 @@ def make_dp_train_step(config: TrainConfig, height: int, width: int,
             zeros_tbl = jnp.zeros_like(state.pose_deltas)
             g_rows = zeros_tbl.at[idx].add(jnp.where(on, d_delta, 0.0))
             g_rows = jax.lax.psum(g_rows, "data")
-            touched_f = jnp.zeros(
+            # an image index can land on several devices of one batch
+            # (GlobalShuffleSampler refills mid-batch across an epoch
+            # boundary of a small dataset): average the duplicate rows'
+            # gradients so the single Adam step sees the mean, not a
+            # touch-count-times learning-rate spike
+            touch_n = jnp.zeros(
                 (state.pose_deltas.shape[0],), jnp.float32
-            ).at[idx].max(jnp.where(on, 1.0, 0.0))
-            touched_f = jax.lax.pmax(touched_f, "data")
-            touched = touched_f > 0
+            ).at[idx].add(jnp.where(on, 1.0, 0.0))
+            touch_n = jax.lax.psum(touch_n, "data")
+            g_rows = g_rows / jnp.maximum(touch_n, 1.0)[:, None]
+            touched = touch_n > 0
             b1, b2, eps = 0.9, 0.999, 1e-8
             po = state.pose_opt
             mu2 = b1 * po["mu"] + (1.0 - b1) * g_rows

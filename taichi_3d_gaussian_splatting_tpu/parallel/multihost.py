@@ -76,7 +76,14 @@ def initialize(
         kwargs["process_id"] = process_id
     if local_device_ids is not None:
         kwargs["local_device_ids"] = list(local_device_ids)
-    jax.distributed.initialize(**kwargs)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        # fallback idempotence path: the private global_state probe above
+        # may stop working on a jax upgrade — treat the runtime's own
+        # "already initialized" refusal as success, re-raise anything else
+        if "already initialized" not in str(e).lower():
+            raise
 
 
 def make_global_mesh(axis: str = "data") -> Mesh:
@@ -134,13 +141,24 @@ class GlobalShuffleSampler:
         self._queue: List[int] = []
 
     def next_global(self, count: int) -> List[int]:
+        self._fill(count)
+        out, self._queue = self._queue[:count], self._queue[count:]
+        return out
+
+    def peek_global(self, count: int) -> List[int]:
+        """The indices the next ``next_global(count)`` will return, WITHOUT
+        consuming them (deterministic: the queue extension is committed).
+        Lets the trainer prefetch-decode the next window's images while the
+        current window runs on device."""
+        self._fill(count)
+        return list(self._queue[:count])
+
+    def _fill(self, count: int) -> None:
         while len(self._queue) < count:
             order = np.arange(self.num_items)
             if self.shuffle:
                 self.rng.shuffle(order)
             self._queue.extend(order.tolist())
-        out, self._queue = self._queue[:count], self._queue[count:]
-        return out
 
     @staticmethod
     def local_slice(global_indices: Sequence[int], per_step: int,
@@ -180,16 +198,51 @@ class ThreadedIndexLoader:
 
     The multihost analogue of `PrefetchLoader`: ordering is decided by
     the sampler (not an internal stream), decode happens on threads (PIL
-    releases the GIL)."""
+    releases the GIL). ``submit``/futures let the trainer overlap the next
+    window's decode with the current window's device time.
 
-    def __init__(self, dataset, num_threads: int = 4):
+    ``expected_hw``: the (h, w) every record's metadata maps to
+    (check_uniform_resolution). The resolution decision is made from
+    metadata BEFORE any pixel is read, but ImagePoseDataset derives the
+    actual shape from the DECODED image (metadata/file mismatch is legal
+    single-host, it just rescales intrinsics) — on a multihost mesh a
+    mismatching file would make hosts compile different programs and
+    deadlock the collectives with no diagnostic, so each decoded item is
+    checked here and the offending image named."""
+
+    def __init__(self, dataset, num_threads: int = 4,
+                 expected_hw: Optional[tuple] = None):
         self.dataset = dataset
+        self.expected_hw = expected_hw
         self.pool = ThreadPoolExecutor(
             max_workers=max(num_threads, 1),
             thread_name_prefix="mh-dataset-decode")
 
+    def _fetch(self, index: int):
+        item = self.dataset[index]
+        if self.expected_hw is not None:
+            hw = (item.camera_info.camera_height,
+                  item.camera_info.camera_width)
+            if hw != tuple(self.expected_hw):
+                path = None
+                try:
+                    path = self.dataset.records[index].get("image_path")
+                except Exception:
+                    pass
+                raise ValueError(
+                    f"dataset item {index} ({path!r}) decoded to {hw} but "
+                    f"its metadata maps to {tuple(self.expected_hw)} — on "
+                    "a multihost mesh this would desynchronize the hosts. "
+                    "Fix the image file or its camera_height/camera_width "
+                    "metadata.")
+        return item
+
+    def submit(self, indices: Iterable[int]):
+        """Futures for each index, in order (gather with .result())."""
+        return [self.pool.submit(self._fetch, i) for i in indices]
+
     def load(self, indices: Iterable[int]):
-        return list(self.pool.map(self.dataset.__getitem__, indices))
+        return [f.result() for f in self.submit(indices)]
 
 
 def expected_resolution(record: dict, tile_size: int) -> tuple:

@@ -243,6 +243,11 @@ def make_train_step(config: TrainConfig, height: int, width: int,
             "pred": pred, "depth": out.depth, "count": out.count,
             "stats": stats, "point_depth": ctx.raw.depth,
             "point_uv": ctx.raw.uv,  # densify scatter overlays
+            # post-factor parameter gradients for the per-slice histograms
+            # (reference _plot_grad_histogram, GaussianPointTrainer.py
+            # :295-340); device arrays stay lazy — only materialized at
+            # the metrics cadence
+            "grad_features": d_features, "grad_xyz": d_xyz,
         }
         return new_state, metrics, aux
 
@@ -309,9 +314,10 @@ def make_eval_step(config: TrainConfig, height: int, width: int):
         from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import rasterize
 
         camera = Camera(K=K, width=width, height=height)
-        out = rasterize(
+        out, num_keys = rasterize(
             scene.xyz, scene.features, scene.invalid, q, t, camera, rcfg,
             sh_max_band=sh_band, point_object_id=scene.object_id,
+            return_num_keys=True,
         )
         pred = jnp.clip(out.rgb, 0.0, 1.0)
         loss, l1, ssim_v = compute_loss(
@@ -321,7 +327,12 @@ def make_eval_step(config: TrainConfig, height: int, width: int):
             "loss": loss, "l1": l1, "ssim": ssim_v,
             "psnr": psnr_fn(pred, image_gt),
             "ssim_score": ssim_fn(pred, image_gt),
-        }, pred, out.depth
+            # TRUE key total (may exceed rcfg.key_cap): _validate refits
+            # the eval capacity when this overflows, instead of silently
+            # dropping the highest-index points' keys (tiling.py overflow
+            # semantics) and reporting a skewed PSNR
+            "num_keys": num_keys,
+        }, pred, out.depth, out.count
 
     return eval_step
 
@@ -396,6 +407,12 @@ class GaussianPointCloudTrainer:
         )
         self.best_psnr_score = 0.0
         self._key_cap = config.rasterisation_config.key_cap
+        # eval capacity is fitted INDEPENDENTLY of the train capacity:
+        # during progressive downsampling the train frames are 4x-16x
+        # smaller than val frames, so a train-fitted cap can silently drop
+        # validation keys (tiling.py overflow semantics) and skew the
+        # reported PSNR. _validate grows this from the live keys.total.
+        self._eval_key_cap = config.rasterisation_config.key_cap
         rcfg = config.rasterisation_config
         # 0 = partition mode; >0 = direct candidate mode at that window
         # scale (skips the N-length partition sort in the train step).
@@ -430,7 +447,8 @@ class GaussianPointCloudTrainer:
 
             # every host must compile/run the same program every step:
             # resolution is decided from metadata, identically everywhere
-            mh.check_uniform_resolution(self.train_dataset.records, tile)
+            self._mh_hw = mh.check_uniform_resolution(
+                self.train_dataset.records, tile)
             self.mesh = mh.make_global_mesh()
         elif config.data_parallel_devices > 1:
             from taichi_3d_gaussian_splatting_tpu.parallel.data_parallel import (
@@ -542,10 +560,47 @@ class GaussianPointCloudTrainer:
         return spd
 
     def _get_eval(self, h: int, w: int):
-        key = (h, w, self._key_cap)
+        import dataclasses as _dc
+
+        # eval caps are fitted from val-resolution key totals, never from
+        # the (possibly downsampled) train fit; see _eval_key_cap
+        self._eval_key_cap = max(self._eval_key_cap, self._key_cap)
+        key = (h, w, self._eval_key_cap)
         if key not in self._eval_cache:
-            self._eval_cache[key] = make_eval_step(self._active_config(), h, w)
+            cfg = self._active_config()
+            cfg = _dc.replace(cfg, rasterisation_config=_dc.replace(
+                cfg.rasterisation_config, key_cap=self._eval_key_cap))
+            self._eval_cache[key] = make_eval_step(cfg, h, w)
         return self._eval_cache[key]
+
+    def _eval_frame(self, state: TrainState, item, sh_band: int):
+        """One validation render, refitting the eval key capacity until the
+        frame's TRUE key total fits (no silent drops can skew reported
+        PSNR). Returns (metrics, pred, depth)."""
+        h, w = item.camera_info.camera_height, item.camera_info.camera_width
+        args = (
+            state.scene,
+            jnp.asarray(item.image),
+            jnp.asarray(item.q_pointcloud_camera),
+            jnp.asarray(item.t_pointcloud_camera),
+            jnp.asarray(item.camera_info.camera_intrinsics),
+            jnp.asarray(sh_band, jnp.int32),
+        )
+        for _ in range(4):  # fit_key_cap overshoots >= the live total + 30%
+            metrics, pred, depth, count = self._get_eval(h, w)(*args)
+            total = int(metrics["num_keys"])
+            if total <= self._eval_key_cap:
+                return metrics, pred, depth, count
+            self._eval_key_cap = fit_key_cap(
+                total,
+                minimum=min(2 ** 15,
+                            self.config.rasterisation_config.key_cap),
+            )
+            print(f"eval key_cap -> {self._eval_key_cap} "
+                  f"(val keys {total}, frame re-rendered)")
+        raise RuntimeError(
+            f"validation key total {total} still exceeds refit eval "
+            f"key_cap {self._eval_key_cap}")
 
     def _maybe_rebucket_key_cap(self, num_keys: int) -> bool:
         """Grow/shrink the static key capacity to fit the live key count
@@ -622,9 +677,13 @@ class GaussianPointCloudTrainer:
             self._mh_sampler = mh.GlobalShuffleSampler(
                 len(self.train_dataset), seed=config.seed)
             self._mh_loader = mh.ThreadedIndexLoader(
-                self.train_dataset, num_threads=config.num_data_threads)
+                self.train_dataset, num_threads=config.num_data_threads,
+                expected_hw=self._mh_hw)
             self._mh_local = len(_jax.local_devices())
             self._mh_offset = mh.local_batch_offset()
+            # (expected index list, decode futures) for the next window —
+            # submitted while the current window runs on device
+            self._mh_prefetch = None
             data_iter = None
         else:
             loader = PrefetchLoader(
@@ -707,9 +766,26 @@ class GaussianPointCloudTrainer:
                 )
 
                 gidx = self._mh_sampler.next_global(per_step * window)
-                lidx = GlobalShuffleSampler.local_slice(
-                    gidx, per_step, self._mh_local, self._mh_offset)
-                items = self._mh_loader.load(lidx)
+                pre = self._mh_prefetch
+                self._mh_prefetch = None
+                if pre is not None and pre[0] == gidx:
+                    items = [f.result() for f in pre[1]]
+                else:
+                    lidx = GlobalShuffleSampler.local_slice(
+                        gidx, per_step, self._mh_local, self._mh_offset)
+                    items = self._mh_loader.load(lidx)
+                # speculative decode of the NEXT window while this one runs
+                # on device: the sampler stream is deterministic, so peek
+                # gives exactly what next_global will return; a window-size
+                # misprediction just falls back to the synchronous load
+                next_it = iteration + window
+                if next_it < config.num_iterations:
+                    w_next = self._window_size(next_it)
+                    g_next = self._mh_sampler.peek_global(per_step * w_next)
+                    l_next = GlobalShuffleSampler.local_slice(
+                        g_next, per_step, self._mh_local, self._mh_offset)
+                    self._mh_prefetch = (g_next,
+                                         self._mh_loader.submit(l_next))
                 rows_per_step = self._mh_local
             else:
                 items = []
@@ -875,7 +951,12 @@ class GaussianPointCloudTrainer:
                     state.scene, state.ctrl, aux["stats"], aux["point_depth"],
                     k1, iteration > ccfg.iteration_start_remove_floater,
                 )
-                self._log_densify_scatter(info, aux, iteration)
+                # scatter plots only at the plot cadence (reference
+                # GaussianPointAdaptiveController.py:267: iteration_counter
+                # % plot_densify_interval == 0), not every densify round
+                if (ccfg.plot_densify_interval
+                        and iteration % ccfg.plot_densify_interval == 0):
+                    self._log_densify_scatter(info, aux, iteration)
                 new_scene, new_ctrl = self.densify_apply(state.scene, info, k2)
                 state = state._replace(scene=new_scene, ctrl=new_ctrl)
             if warm and iteration % ccfg.num_iterations_reset_alpha == 0:
@@ -1073,6 +1154,56 @@ class GaussianPointCloudTrainer:
             if np.isfinite(mag).all() and mag.size:
                 self.writer.add_histogram("grad/viewspace_magnitude", mag,
                                           iteration)
+        # per-slice gradient histograms (reference _plot_grad_histogram,
+        # GaussianPointTrainer.py:295-340: q/s/alpha/dc/high-order slices)
+        gf = aux.get("grad_features")
+        if gf is not None:
+            g = np.asarray(gf)[valid]
+            hi = np.concatenate(
+                [g[:, 9:24], g[:, 25:40], g[:, 41:56]], axis=1)
+            for tag, arr in (
+                    ("grad/q", g[:, 0:4]), ("grad/s", g[:, 4:7]),
+                    ("grad/alpha", g[:, 7]),
+                    ("grad/sh_dc", g[:, [8, 24, 40]]),
+                    ("grad/sh_high_order", hi)):
+                if np.isfinite(arr).all() and arr.size:
+                    self.writer.add_histogram(tag, arr, iteration)
+        gx = aux.get("grad_xyz")
+        if gx is not None:
+            g = np.asarray(gx)[valid]
+            if np.isfinite(g).all() and g.size:
+                self.writer.add_histogram("grad/xyz", g, iteration)
+
+    @staticmethod
+    def _easy_cmap(depth: np.ndarray) -> np.ndarray:
+        """Reference _easy_cmap (GaussianPointTrainer.py:283-289):
+        near/mid/far depth bands, inverted."""
+        return 1.0 - np.stack([
+            np.clip(depth, 0, 10) / 10.0,
+            np.clip(depth - 10, 0, 50) / 50.0,
+            np.clip(depth - 60, 0, 200) / 200.0,
+        ], axis=-1)
+
+    def _log_validation_image(self, item, pred, depth, count, idx: int,
+                              iteration: int) -> None:
+        """Per-val-frame pred | gt / depth-cmap | count / |diff| grid under
+        ``val/image {idx}`` (reference GaussianPointTrainer.py:381-393,
+        gated by the log_validation_image config knob)."""
+        pred = np.clip(np.asarray(pred), 0, 1)
+        gt = np.asarray(item.image)
+        d_rgb = self._easy_cmap(np.asarray(depth))
+        count = np.asarray(count).astype(np.float32)
+        c_rgb = np.repeat(
+            (count / max(count.max(), 1.0))[..., None], 3, axis=-1)
+        diff = np.abs(pred - gt)
+        grid = np.concatenate([
+            np.concatenate([pred, gt], axis=1),
+            np.concatenate([d_rgb, c_rgb], axis=1),
+            np.concatenate([diff, np.zeros_like(diff)], axis=1),
+        ], axis=0)
+        self.writer.add_image(
+            f"val/image {idx}",
+            (grid.transpose(2, 0, 1) * 255).astype(np.uint8), iteration)
 
     def _log_images(self, item, metrics, aux, iteration: int,
                     problematic: bool = False) -> None:
@@ -1081,12 +1212,7 @@ class GaussianPointCloudTrainer:
         gt = item.image
         depth = np.asarray(aux["depth"])
         count = np.asarray(aux["count"]).astype(np.float32)
-        # reference _easy_cmap (:283-289): near/mid/far bands, inverted
-        d_rgb = 1.0 - np.stack([
-            np.clip(depth, 0, 10) / 10.0,
-            np.clip(depth - 10, 0, 50) / 50.0,
-            np.clip(depth - 60, 0, 200) / 200.0,
-        ], axis=-1)
+        d_rgb = self._easy_cmap(depth)
         c_rgb = np.repeat(
             (count / max(count.max(), 1.0))[..., None], 3, axis=-1)
         top = np.concatenate([pred, gt], axis=1)
@@ -1136,25 +1262,44 @@ class GaussianPointCloudTrainer:
         totals = collections.defaultdict(float)
         n = 0
         frame_times = []
-        for item in PrefetchLoader(self.val_dataset, shuffle=False,
+        # shard val frames across hosts (each host renders every
+        # process_count-th frame; totals are all-reduced below) instead of
+        # every host redundantly rendering the complete val set
+        nproc = jax.process_count() if self.multihost else 1
+        pid = jax.process_index() if self.multihost else 0
+        if nproc == 1:
+            items = PrefetchLoader(self.val_dataset, shuffle=False,
                                    loop=False,
-                                   num_threads=config.num_data_threads):
-            h, w = item.camera_info.camera_height, item.camera_info.camera_width
-            eval_step = self._get_eval(h, w)
+                                   num_threads=config.num_data_threads)
+        else:
+            items = (self.val_dataset[i]
+                     for i in range(len(self.val_dataset))
+                     if i % nproc == pid)
+        for item in items:
             t0 = time.time()
-            metrics, pred, depth = eval_step(
-                state.scene,
-                jnp.asarray(item.image),
-                jnp.asarray(item.q_pointcloud_camera),
-                jnp.asarray(item.t_pointcloud_camera),
-                jnp.asarray(item.camera_info.camera_intrinsics),
-                jnp.asarray(sh_band, jnp.int32),
-            )
+            metrics, pred, depth, count = self._eval_frame(
+                state, item, sh_band)
             jax.block_until_ready(metrics["loss"])
             frame_times.append(time.time() - t0)
             for k in ("loss", "l1", "psnr", "ssim_score"):
                 totals[k] += float(metrics[k])
+            if (config.log_validation_image and self.writer is not None
+                    and self.is_main):
+                self._log_validation_image(item, pred, depth, count,
+                                           item.index, iteration)
             n += 1
+        if nproc > 1:
+            from jax.experimental import multihost_utils
+
+            vec = np.asarray(
+                [totals["loss"], totals["l1"], totals["psnr"],
+                 totals["ssim_score"], float(n)], np.float32)
+            summed = np.asarray(
+                multihost_utils.process_allgather(vec)).sum(axis=0)
+            totals = {"loss": float(summed[0]), "l1": float(summed[1]),
+                      "psnr": float(summed[2]),
+                      "ssim_score": float(summed[3])}
+            n = int(round(float(summed[4])))
         if n == 0:
             return state
         mean_psnr = totals["psnr"] / n
@@ -1164,15 +1309,16 @@ class GaussianPointCloudTrainer:
         self._scalar("val/ssim", mean_ssim, iteration)
         # median excludes compile time of the first frame per bucket
         # (reference warms up before its CUDA-event timing)
-        self._scalar("val/inference_time",
-                     float(np.median(frame_times)), iteration)
+        if frame_times:
+            self._scalar("val/inference_time",
+                         float(np.median(frame_times)), iteration)
         self._console(val_loss=totals["loss"] / n, val_psnr=mean_psnr,
                       val_ssim=mean_ssim,
                       **{f"val_psnr_{iteration}": mean_psnr,
                          f"val_ssim_{iteration}": mean_ssim})
 
         if not self.is_main:
-            # metrics above were computed (replicated) for best-PSNR
+            # metrics above were all-reduced across hosts for best-PSNR
             # bookkeeping consistency; writes belong to the main host
             if mean_psnr > self.best_psnr_score:
                 self.best_psnr_score = mean_psnr

@@ -451,3 +451,94 @@ class TestScanWindow:
         np.testing.assert_allclose(
             np.asarray(st.scene.features), np.asarray(st2.scene.features),
             atol=1e-5)
+
+
+class TestEvalKeyCapFitting:
+    """VERDICT r2 weak #1: a train-fitted key cap (downsampled frames)
+    must not silently drop validation keys and skew reported PSNR."""
+
+    def _trainer(self, tmp_path, hw=64):
+        from PIL import Image
+        import pandas as pd
+        from taichi_3d_gaussian_splatting_tpu.training.trainer import (
+            GaussianPointCloudTrainer,
+        )
+
+        img_dir = tmp_path / "imgs_kc"
+        img_dir.mkdir()
+        arr = (synthetic_target(hw) * 255).astype(np.uint8)
+        p = img_dir / "0.png"
+        Image.fromarray(arr).save(p)
+        k = [[hw * 0.75, 0, hw / 2], [0, hw * 0.75, hw / 2], [0, 0, 1.0]]
+        rec = [{
+            "image_path": str(p),
+            "T_pointcloud_camera": np.eye(4).tolist(),
+            "camera_intrinsics": k,
+            "camera_height": hw, "camera_width": hw, "camera_id": 0,
+        }]
+        tj = tmp_path / "train_kc.json"
+        vj = tmp_path / "val_kc.json"
+        tj.write_text(json.dumps(rec))
+        vj.write_text(json.dumps(rec))
+        rng = np.random.default_rng(3)
+        pts = np.stack(
+            [rng.uniform(-0.8, 0.8, 600), rng.uniform(-0.8, 0.8, 600),
+             rng.uniform(2.0, 4.0, 600)], axis=-1)
+        pq = tmp_path / "pts_kc.parquet"
+        pd.DataFrame(pts, columns=["x", "y", "z"]).to_parquet(pq)
+        config = from_dict({
+            "train_dataset_json_path": str(tj),
+            "val_dataset_json_path": str(vj),
+            "pointcloud_parquet_path": str(pq),
+            "summary_writer_log_dir": str(tmp_path / "logs_kc"),
+            # a deliberately small cap, as a 4x-downsampled train phase
+            # would have fitted it
+            "rasterisation_config": {
+                "tile_size": 32, "key_cap": 512, "interpret": True,
+            },
+            "loss_function_config": {"enable_regularization": False},
+        })
+        return GaussianPointCloudTrainer(config)
+
+    def test_full_res_validation_refits_cap_and_matches_big_cap_eval(
+            self, tmp_path):
+        import dataclasses as dc
+        from taichi_3d_gaussian_splatting_tpu.training.trainer import (
+            make_eval_step, make_optimizers,
+        )
+        from taichi_3d_gaussian_splatting_tpu.training import controller as c
+
+        trainer = self._trainer(tmp_path)
+        # fatten the splats so each covers several 32px tiles: the true
+        # val key total must exceed the 512-key train-fitted cap
+        feats = np.array(trainer.scene.features)
+        feats[:, 4:7] = -1.0
+        trainer.scene = trainer.scene._replace(
+            features=jnp.asarray(feats))
+        ftx, ptx = make_optimizers(trainer.config)
+        state = TrainState(
+            scene=trainer.scene, feat_opt=ftx.init(trainer.scene.features),
+            pos_opt=ptx.init(trainer.scene.xyz),
+            ctrl=c.init_state(trainer.scene.capacity),
+        )
+        item = trainer.val_dataset[0]
+        metrics, _, _, _ = trainer._eval_frame(state, item, sh_band=0)
+        total = int(metrics["num_keys"])
+        assert total > 512, "test setup must overflow the train-fitted cap"
+        # the refit grew the eval cap past the true total: no dropped keys
+        assert trainer._eval_key_cap >= total
+        # and the reported PSNR equals a standalone big-cap eval exactly
+        big = dc.replace(
+            trainer.config, rasterisation_config=dc.replace(
+                trainer.config.rasterisation_config, key_cap=8192))
+        h, w = item.camera_info.camera_height, item.camera_info.camera_width
+        ref_metrics, _, _, _ = make_eval_step(big, h, w)(
+            state.scene, jnp.asarray(item.image),
+            jnp.asarray(item.q_pointcloud_camera),
+            jnp.asarray(item.t_pointcloud_camera),
+            jnp.asarray(item.camera_info.camera_intrinsics),
+            jnp.asarray(0, jnp.int32),
+        )
+        np.testing.assert_allclose(
+            float(metrics["psnr"]), float(ref_metrics["psnr"]),
+            rtol=1e-5)
