@@ -157,9 +157,11 @@ def main():
     ap.add_argument("--skip_train", action="store_true",
                     help="forward metric only")
     ap.add_argument("--tile_size", type=int, default=32,
-                    help="pixels per tile side (pair-count vs key-count "
-                    "trade: 16 quarters wasted pixel-pairs per splat but "
-                    "roughly doubles keys to sort)")
+                    help="tile width in pixels")
+    ap.add_argument("--tile_h", type=int, default=None,
+                    help="tile height (None = square tile_size). Wide, "
+                    "short tiles (32x8) cut blend pixel-pair work ~4x for "
+                    "~1.3x more keys — the TPU-native shape")
     args = ap.parse_args()
 
     from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import (
@@ -183,7 +185,9 @@ def main():
     # size the static key capacity to the live key count (what the trainer
     # does continuously via fit_key_cap)
     tile = args.tile_size
-    probe_cfg = RasterizerConfig(tile_size=tile, key_cap=2 ** 22,
+    tile_h = args.tile_h
+    probe_cfg = RasterizerConfig(tile_size=tile, tile_h=tile_h,
+                                 key_cap=2 ** 22,
                                  interpret=interpret, extra_info=False)
     raw, radius = jax.jit(
         lambda x, f: compute_raw_attrs(x, f, q, t, camera))(xyz, feats)
@@ -207,7 +211,7 @@ def main():
     # rgb_only matches the reference benchmark protocol
     # (benchmark/inference_benchmark.py uses the rgb-only rasterizer)
     fwd_cfg = RasterizerConfig(
-        tile_size=tile, key_cap=cap, interpret=interpret,
+        tile_size=tile, tile_h=tile_h, key_cap=cap, interpret=interpret,
         extra_info=False, rgb_only=True,
         candidate_mode="direct" if direct else "partition",
         cand_scale=scale if direct else 1)
@@ -215,7 +219,8 @@ def main():
     mpix = HEIGHT * WIDTH / 1e6
     fwd_mpix_s = mpix / (fwd_ms / 1e3)
 
-    tile_tag = "" if tile == 32 else f"_t{tile}"
+    th = tile if tile_h is None else tile_h
+    tile_tag = "" if (tile, th) == (32, 32) else f"_t{tile}x{th}"
     result = {
         "metric": f"truck{n_points // 1000}k_render_fwd_mpix_per_s_"
                   f"{platform}{tile_tag}",
@@ -231,7 +236,8 @@ def main():
         # the train step keeps the robust partition path + densify stats,
         # exactly like real training (trainer._active_config defaults)
         train_cfg = RasterizerConfig(
-            tile_size=tile, key_cap=fit_key_cap(int(keys.total)),
+            tile_size=tile, tile_h=tile_h,
+            key_cap=fit_key_cap(int(keys.total)),
             interpret=interpret,
             candidate_mode="direct" if direct else "partition",
             cand_scale=scale if direct else 1)

@@ -23,6 +23,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if os.environ.get("SCALING_FORCE_CPU", "") == "1":
+    # must land before the first backend init; the session sitecustomize
+    # pins JAX_PLATFORMS=axon, so plain env overrides are too late
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -106,8 +112,14 @@ def main():
         if base_rate is None:
             base_rate = rate
         eff = rate / (base_rate * nd) * 100.0
+        # On a shared-core host (virtual devices time-slicing nproc < nd
+        # cores) per-device efficiency is physically capped at
+        # nproc/nd; aggregate-throughput retention >= 100% is the honest
+        # "collectives add no overhead" signal there.
+        retention = rate / base_rate * 100.0
         print(f"devices={nd:3d}  {dt / steps * 1e3:8.2f} ms/step  "
-              f"{rate:8.2f} img/s  efficiency={eff:6.1f}%", flush=True)
+              f"{rate:8.2f} img/s  efficiency={eff:6.1f}%  "
+              f"retention={retention:6.1f}%", flush=True)
 
 
 if __name__ == "__main__":

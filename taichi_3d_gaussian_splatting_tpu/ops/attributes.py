@@ -136,7 +136,7 @@ def frustum_cull_mask(
     height: int,
     near: float,
     far: float,
-    tile_size: int,
+    tile_size,
     boundary_tiles: int = 3,
     boundary_tiles_v: int | None = None,
 ) -> jnp.ndarray:
@@ -144,13 +144,19 @@ def frustum_cull_mask(
 
     Keeps points with near < z < far whose projected center lies within the
     image padded by ``boundary_tiles`` tiles (BOUNDARY_TILES=3, :26).
-    ``boundary_tiles_v`` overrides the vertical pad — band-sharded rendering
-    (parallel/tile_parallel.py) widens it so splats centered in other bands
-    still reach this band's pixels.
+    ``tile_size`` accepts an int or (tile_w, tile_h); the DEFAULT vertical
+    pad uses tile_w for both axes so rectangular blend tiles never cull
+    more aggressively than the square-tile (and reference) semantics.
+    ``boundary_tiles_v`` overrides the vertical pad in units of tile ROWS
+    (tile_h px each) — band-sharded rendering (parallel/tile_parallel.py)
+    widens it so splats centered in other bands still reach this band's
+    pixels.
     """
-    pad_u = tile_size * boundary_tiles
-    pad_v = tile_size * (boundary_tiles if boundary_tiles_v is None
-                         else boundary_tiles_v)
+    from taichi_3d_gaussian_splatting_tpu.ops.tiling import tile_wh
+    tile_w, tile_h = tile_wh(tile_size)
+    pad_u = tile_w * boundary_tiles
+    pad_v = (tile_w * boundary_tiles if boundary_tiles_v is None
+             else tile_h * boundary_tiles_v)
     in_depth = (depth > near) & (depth < far)
     in_u = (uv[:, 0] >= -pad_u) & (uv[:, 0] < width + pad_u)
     in_v = (uv[:, 1] >= -pad_v) & (uv[:, 1] < height + pad_v)

@@ -70,20 +70,20 @@ CHUNK = 128  # key-chunk = lane width; tiling.CHUNK must match
 HIGHEST = jax.lax.Precision.HIGHEST
 
 
-def _pixel_coords(tile: int):
+def _pixel_coords(tile_w: int, tile_h: int):
     """((PX, 1) x, (PX, 1) y) tile-local pixel centers (+0.5, reference
-    :444-447)."""
-    px_count = tile * tile
+    :444-447), row-major over a tile_w x tile_h tile."""
+    px_count = tile_w * tile_h
     i = jax.lax.broadcasted_iota(jnp.int32, (px_count, 1), 0)
-    x = (i % tile).astype(jnp.float32) + 0.5
-    y = (i // tile).astype(jnp.float32) + 0.5
+    x = (i % tile_w).astype(jnp.float32) + 0.5
+    y = (i // tile_w).astype(jnp.float32) + 0.5
     return x, y
 
 
-def _pixel_monomials(tile: int):
-    """(tile*tile, 8) tile-LOCAL monomials [x^2, y^2, xy, x, y, 1, 0, 0];
+def _pixel_monomials(tile_w: int, tile_h: int):
+    """(tile_w*tile_h, 8) tile-LOCAL monomials [x^2, y^2, xy, x, y, 1, 0, 0];
     used by the backward's moment matmul (K=PX reduction on the MXU)."""
-    x, y = _pixel_coords(tile)
+    x, y = _pixel_coords(tile_w, tile_h)
     one = jnp.ones_like(x)
     zero = jnp.zeros_like(x)
     return jnp.concatenate([x * x, y * y, x * y, x, y, one, zero, zero], axis=1)
@@ -192,9 +192,9 @@ def _forward_kernel(
     out_ref,
     # scratch
     tab_ref, acc_ref, t_ref, sem,
-    *, tile: int, rgb_only: bool, chunk: int,
+    *, tile_w: int, tile_h: int, rgb_only: bool, chunk: int,
 ):
-    px_count = tile * tile
+    px_count = tile_w * tile_h
     t = pl.program_id(0)
     # ranges are unaligned; DMA windows start at the enclosing chunk
     # boundary (the hint lets Mosaic prove lane alignment) and lane masks
@@ -205,7 +205,7 @@ def _forward_kernel(
     n = end - start
     nch = jnp.where(n > 0, pl.cdiv(end - base, chunk), 0)
 
-    xy = _pixel_coords(tile)
+    xy = _pixel_coords(tile_w, tile_h)
 
     acc_ref[:] = jnp.zeros((px_count, 8), jnp.float32)
     # t_ref columns: 0 = running product over all processed (saturation
@@ -283,19 +283,22 @@ def blend_forward(
     table: jnp.ndarray,        # (16, cap_pad) SoA key table
     tile_start: jnp.ndarray,   # (num_tiles,) int32, CHUNK-aligned
     tile_end: jnp.ndarray,     # (num_tiles,) int32
-    *, tile: int, tiles_x: int, tiles_y: int, rgb_only: bool = False,
+    *, tile, tiles_x: int, tiles_y: int, rgb_only: bool = False,
     chunk: int = CHUNK, interpret: bool = False,
 ):
-    """Returns (num_tiles, tile*tile, 8) packed per-pixel outputs:
+    """Returns (num_tiles, tile_w*tile_h, 8) packed per-pixel outputs:
     [r, g, b, depth_weighted_sum, weight_sum, include_count, T_final, 0]
     (rgb_only: only the first three channels are meaningful).
+    ``tile``: int (square) or (tile_w, tile_h).
     """
+    from taichi_3d_gaussian_splatting_tpu.ops.tiling import tile_wh
+    tile_w, tile_h = tile_wh(tile)
     num_tiles = tiles_x * tiles_y
-    px_count = tile * tile
+    px_count = tile_w * tile_h
     assert chunk % 128 == 0, "DMA windows must stay lane-aligned"
     assert table.shape[1] % chunk == 0, "cap_pad must be a chunk multiple"
-    kernel = functools.partial(_forward_kernel, tile=tile, rgb_only=rgb_only,
-                               chunk=chunk)
+    kernel = functools.partial(_forward_kernel, tile_w=tile_w, tile_h=tile_h,
+                               rgb_only=rgb_only, chunk=chunk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -335,9 +338,9 @@ def _backward_kernel(
     dtab_hbm, imggrad_ref,
     # scratch
     tab_ref, drow_ref, carry_ref, rmw_ref, in_sem, out_sem, rmw_sem,
-    *, tile: int, extra_info: bool, chunk: int,
+    *, tile_w: int, tile_h: int, extra_info: bool, chunk: int,
 ):
-    px_count = tile * tile
+    px_count = tile_w * tile_h
     t = pl.program_id(0)
     # unaligned ranges; see _forward_kernel. The FIRST window may be shared
     # with the previous tile's tail (windows are chunk-aligned, tiles are
@@ -351,8 +354,8 @@ def _backward_kernel(
     nch = jnp.where(n > 0, pl.cdiv(end - base, chunk), 0)
     shared_head = start > base
 
-    xy = _pixel_coords(tile)
-    mono = _pixel_monomials(tile)
+    xy = _pixel_coords(tile_w, tile_h)
+    mono = _pixel_monomials(tile_w, tile_h)
     g = g_ref[0]        # (PX, 4) d_rgb (4th channel zero)
     cfin = cfin_ref[0]  # (PX, 4) final pre-background rgb
     g_cfin = jnp.sum(g * cfin, axis=1, keepdims=True)  # (PX, 1)
@@ -533,7 +536,7 @@ def blend_backward(
     tile_end: jnp.ndarray,
     d_rgb_tiles: jnp.ndarray,  # (num_tiles, px, 4) image cotangent (4th ch 0)
     cfin_tiles: jnp.ndarray,   # (num_tiles, px, 4) forward rgb output
-    *, tile: int, tiles_x: int, tiles_y: int, extra_info: bool = True,
+    *, tile, tiles_x: int, tiles_y: int, extra_info: bool = True,
     chunk: int = CHUNK, interpret: bool = False,
 ):
     """Returns (d_table (16, cap_pad), |grad_uv| image (num_tiles, px, 2)).
@@ -543,13 +546,15 @@ def blend_backward(
     zeros, not garbage — the downstream segment reduction relies on this
     (0 * NaN would poison its membership matmul).
     """
+    from taichi_3d_gaussian_splatting_tpu.ops.tiling import tile_wh
+    tile_w, tile_h = tile_wh(tile)
     num_tiles = tiles_x * tiles_y
-    px_count = tile * tile
+    px_count = tile_w * tile_h
     cap_pad = table.shape[1]
     dtab_init = jnp.zeros((16, cap_pad), jnp.float32)
     assert chunk % 128 == 0, "DMA windows must stay lane-aligned"
     assert table.shape[1] % chunk == 0, "cap_pad must be a chunk multiple"
-    kernel = functools.partial(_backward_kernel, tile=tile,
+    kernel = functools.partial(_backward_kernel, tile_w=tile_w, tile_h=tile_h,
                                extra_info=extra_info, chunk=chunk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -90,6 +90,8 @@ def render_reference(xyz, features, invalid_mask, q_pointcloud_camera,
     from taichi_3d_gaussian_splatting_tpu.ops.attributes import frustum_cull_mask
     from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import compute_raw_attrs
 
+    tile_w, tile_h = tiling.tile_wh(
+        (cfg.tile_size, cfg.tile_size if cfg.tile_h is None else cfg.tile_h))
     raw, radius = compute_raw_attrs(
         xyz, features, q_pointcloud_camera, t_pointcloud_camera, camera,
         sh_max_band,
@@ -97,13 +99,12 @@ def render_reference(xyz, features, invalid_mask, q_pointcloud_camera,
     visible = frustum_cull_mask(
         lax.stop_gradient(raw.uv), lax.stop_gradient(raw.depth), invalid_mask,
         camera.width, camera.height, cfg.near_plane, cfg.far_plane,
-        cfg.tile_size, boundary_tiles_v=cfg.cull_pad_v_tiles,
+        (tile_w, tile_h), boundary_tiles_v=cfg.cull_pad_v_tiles,
     )
     sg = lax.stop_gradient
     # mirror production's depth-key truncation (tiling.py _depth_bits +
     # clip): beyond the key range, production orders by slot index
-    num_tiles = (camera.width // cfg.tile_size) * (
-        camera.height // cfg.tile_size)
+    num_tiles = (camera.width // tile_w) * (camera.height // tile_h)
     dbits = tiling._depth_bits(num_tiles)
     dkey = jnp.clip(
         (sg(raw.depth) * cfg.depth_to_sort_key_scale).astype(jnp.int32),
@@ -114,12 +115,12 @@ def render_reference(xyz, features, invalid_mask, q_pointcloud_camera,
     order = lax.sort((dkey, jnp.arange(n, dtype=jnp.int32)), num_keys=1)[1]
 
     bbox = tiling.tile_bbox(
-        sg(raw.uv), sg(radius), camera.width, camera.height, cfg.tile_size
+        sg(raw.uv), sg(radius), camera.width, camera.height, (tile_w, tile_h)
     )
     h, w_ = camera.height, camera.width
     ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w_), indexing="ij")
-    pix_tu = (xs // cfg.tile_size).reshape(-1)
-    pix_tv = (ys // cfg.tile_size).reshape(-1)
+    pix_tu = (xs // tile_w).reshape(-1)
+    pix_tv = (ys // tile_h).reshape(-1)
     member = (
         (pix_tu[:, None] >= bbox.min_u[order][None, :])
         & (pix_tu[:, None] < bbox.max_u[order][None, :])

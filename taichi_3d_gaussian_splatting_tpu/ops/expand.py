@@ -103,7 +103,7 @@ def _expand_kernel(
     # scratch
     cand_ref, sem,
     *, wk: int, sub: int, cand_cap: int, csub: int, nw: int,
-    tiles_u: int, tile: int, dbits: int, num_tiles: int,
+    tiles_u: int, tile_w: int, tile_h: int, dbits: int, num_tiles: int,
     exact_cull: bool,
 ):
     w = pl.program_id(0)
@@ -194,8 +194,8 @@ def _expand_kernel(
         valid = jnp.logical_and(valid, E[4:5, :] >= 0.5)
 
         # tile-local splat centers (blend kernels need small exact coords)
-        cx = (tid - (tid // tiles_u) * tiles_u).astype(jnp.float32) * tile
-        cy = (tid // tiles_u).astype(jnp.float32) * tile
+        cx = (tid - (tid // tiles_u) * tiles_u).astype(jnp.float32) * tile_w
+        cy = (tid // tiles_u).astype(jnp.float32) * tile_h
         u_raw = E[6:7, :] - cx
         v_raw = E[7:8, :] - cy
 
@@ -216,9 +216,9 @@ def _expand_kernel(
             ca, cb, cc = E[8:9, :], E[9:10, :], E[10:11, :]
             logro = E[11:12, :]
             x0 = 0.5 - u_raw
-            x1 = (tile - 0.5) - u_raw
+            x1 = (tile_w - 0.5) - u_raw
             y0 = 0.5 - v_raw
-            y1 = (tile - 0.5) - v_raw
+            y1 = (tile_h - 0.5) - v_raw
 
             def q_at(xx, yy):
                 return 0.5 * (ca * xx * xx + cc * yy * yy) + cb * xx * yy
@@ -261,7 +261,8 @@ def expand_keys(
                            # inert — see module header)
     lo: jnp.ndarray,       # (nw,) int32 128-aligned window candidate starts
     lim: jnp.ndarray,      # (2,) int32 [min(total, cap), sentinel]
-    *, key_cap: int, tiles_u: int, tile: int, dbits: int, num_tiles: int,
+    *, key_cap: int, tiles_u: int, tile_w: int, tile_h: int, dbits: int,
+    num_tiles: int,
     exact_cull: bool = True, cand_scale: int = 1, interpret: bool = False,
 ):
     """Returns (fused (key_cap,) int32, table (16, key_cap) f32).
@@ -283,8 +284,8 @@ def expand_keys(
 
     kernel = functools.partial(
         _expand_kernel, wk=wk, sub=sub, cand_cap=cand_cap, csub=csub, nw=nw,
-        tiles_u=tiles_u, tile=tile, dbits=dbits, num_tiles=num_tiles,
-        exact_cull=exact_cull,
+        tiles_u=tiles_u, tile_w=tile_w, tile_h=tile_h, dbits=dbits,
+        num_tiles=num_tiles, exact_cull=exact_cull,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

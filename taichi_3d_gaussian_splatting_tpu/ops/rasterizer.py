@@ -64,7 +64,11 @@ class RasterizerConfig:
     grad_q_factor: float = 1.0
     grad_alpha_factor: float = 20.0
     # TPU static sizing
-    tile_size: int = 32          # pixels per tile side (reference: 16, CUDA)
+    tile_size: int = 32          # tile width in pixels (reference: 16, CUDA)
+    tile_h: Optional[int] = None # tile height; None = square (tile_size).
+                                 # Wide, short tiles (32x8) cut the blend
+                                 # kernels' pixel-pair work ~4x for ~1.3x
+                                 # more keys — see ops/tiling.py header.
     key_cap: int = 2 ** 21       # static capacity of the tile-key buffer
     extra_info: bool = True      # densification stats in backward
     exact_tile_cull: bool = True # retire (point, tile) pairs whose max
@@ -85,7 +89,16 @@ class RasterizerConfig:
     cand_scale: int = 1          # direct-mode candidate window multiplier
     interpret: bool = False      # run Pallas kernels in interpreter mode
     cull_pad_v_tiles: Optional[int] = None  # vertical cull pad override
-                                 # (tiles); band-sharded rendering widens it
+                                 # (tile ROWS of tile_h px); band-sharded
+                                 # rendering widens it
+
+    def __post_init__(self):
+        if self.tile_h is not None and self.tile_size % self.tile_h != 0:
+            # datasets crop images to tile_size multiples (both axes);
+            # a tile_h that divides tile_size keeps every such image
+            # divisible into tile rows
+            raise ValueError(
+                f"tile_h={self.tile_h} must divide tile_size={self.tile_size}")
 
 
 class Camera(NamedTuple):
@@ -126,17 +139,25 @@ class GradStats(NamedTuple):
     magnitude_grad_viewspace_on_image: jnp.ndarray  # (H, W, 2)
 
 
-def _tiles_to_image(tiles: jnp.ndarray, tiles_x: int, tiles_y: int, tile: int):
-    """(num_tiles, tile*tile, C) -> (H, W, C)."""
+def _cfg_tile(cfg: RasterizerConfig) -> tuple:
+    """(tile_w, tile_h) of a config (tile_h=None means square)."""
+    th = cfg.tile_size if cfg.tile_h is None else cfg.tile_h
+    return (cfg.tile_size, th)
+
+
+def _tiles_to_image(tiles: jnp.ndarray, tiles_x: int, tiles_y: int, tile):
+    """(num_tiles, tile_w*tile_h, C) -> (H, W, C)."""
+    tw, th = tiling.tile_wh(tile)
     c = tiles.shape[-1]
-    img = tiles.reshape(tiles_y, tiles_x, tile, tile, c)
-    return img.transpose(0, 2, 1, 3, 4).reshape(tiles_y * tile, tiles_x * tile, c)
+    img = tiles.reshape(tiles_y, tiles_x, th, tw, c)
+    return img.transpose(0, 2, 1, 3, 4).reshape(tiles_y * th, tiles_x * tw, c)
 
 
-def _image_to_tiles(img: jnp.ndarray, tiles_x: int, tiles_y: int, tile: int):
+def _image_to_tiles(img: jnp.ndarray, tiles_x: int, tiles_y: int, tile):
+    tw, th = tiling.tile_wh(tile)
     c = img.shape[-1]
-    t = img.reshape(tiles_y, tile, tiles_x, tile, c)
-    return t.transpose(0, 2, 1, 3, 4).reshape(tiles_y * tiles_x, tile * tile, c)
+    t = img.reshape(tiles_y, th, tiles_x, tw, c)
+    return t.transpose(0, 2, 1, 3, 4).reshape(tiles_y * tiles_x, th * tw, c)
 
 
 def _zero_cot(x):
@@ -187,7 +208,8 @@ def _blend_bwd_impl(raw, keys, table, out_tiles, d_rgb_tiles, tile, grid_hw,
     """Shared by the custom_vjp and the trainer's explicit backward (which
     also needs the densification statistics)."""
     tiles_x, tiles_y = grid_hw
-    px = tile * tile
+    tw, th = tiling.tile_wh(tile)
+    px = tw * th
     num_tiles = tiles_x * tiles_y
     pad4 = jnp.zeros((num_tiles, px, 1), jnp.float32)
     g4 = jnp.concatenate([d_rgb_tiles, pad4], axis=-1)
@@ -291,7 +313,7 @@ def build_keys(raw: RawAttrs, radius, invalid_mask, camera: Camera,
     sg = jax.lax.stop_gradient
     visible = frustum_cull_mask(
         sg(raw.uv), sg(raw.depth), invalid_mask, camera.width, camera.height,
-        cfg.near_plane, cfg.far_plane, cfg.tile_size,
+        cfg.near_plane, cfg.far_plane, _cfg_tile(cfg),
         boundary_tiles_v=cfg.cull_pad_v_tiles,
     )
     # sanitize BEFORE the log so NaN features blend as fully transparent
@@ -306,7 +328,7 @@ def build_keys(raw: RawAttrs, radius, invalid_mask, camera: Camera,
     )
     keys, table = tiling.build_tile_keys_and_table(
         sg(raw.uv), sg(raw.depth), sg(radius), visible,
-        camera.width, camera.height, cfg.tile_size, cfg.key_cap,
+        camera.width, camera.height, _cfg_tile(cfg), cfg.key_cap,
         cfg.depth_to_sort_key_scale, attr_cols=sg(attr_cols),
         rgb_only=cfg.rgb_only, exact_tile_cull=cfg.exact_tile_cull,
         candidate_mode=cfg.candidate_mode, cand_scale=cfg.cand_scale,
@@ -316,9 +338,9 @@ def build_keys(raw: RawAttrs, radius, invalid_mask, camera: Camera,
 
 
 def _assemble(out_tiles, camera: Camera, cfg: RasterizerConfig):
-    tile = cfg.tile_size
-    tiles_x = camera.width // tile
-    tiles_y = camera.height // tile
+    tile = _cfg_tile(cfg)
+    tiles_x = camera.width // tile[0]
+    tiles_y = camera.height // tile[1]
     if cfg.rgb_only:
         # only rgb is meaningful (reference K6 rgb_only, :342); slicing
         # before the tile->image transpose keeps the relayout to 3 channels
@@ -356,15 +378,15 @@ def rasterize(
     exact per-frame M (GaussianPointCloudRasterisation.py:873-884), so it
     has no equivalent failure mode.
     """
-    assert camera.width % cfg.tile_size == 0
-    assert camera.height % cfg.tile_size == 0
+    tile = _cfg_tile(cfg)
+    assert camera.width % tile[0] == 0
+    assert camera.height % tile[1] == 0
     raw, radius = compute_raw_attrs(
         xyz, features, q_pointcloud_camera, t_pointcloud_camera, camera,
         sh_max_band, point_object_id,
     )
     keys, table, _ = build_keys(raw, radius, invalid_mask, camera, cfg)
-    tile = cfg.tile_size
-    grid_hw = (camera.width // tile, camera.height // tile)
+    grid_hw = (camera.width // tile[0], camera.height // tile[1])
     out_tiles = _blend_core(raw, table, keys, tile, grid_hw, cfg)
     out = _assemble(out_tiles, camera, cfg)
     if return_num_keys:
@@ -422,8 +444,8 @@ def rasterize_fwd_ctx(
 
         (raw, radius), attrs_vjp = jax.vjp(attrs_fn, xyz, features)
     keys, table, visible = build_keys(raw, radius, invalid_mask, camera, cfg)
-    tile = cfg.tile_size
-    grid_hw = (camera.width // tile, camera.height // tile)
+    tile = _cfg_tile(cfg)
+    grid_hw = (camera.width // tile[0], camera.height // tile[1])
     out_tiles, _ = _blend_core_fwd(raw, table, keys, tile, grid_hw, cfg)
     out = _assemble(out_tiles, camera, cfg)
     ctx = RenderContext(raw=raw, keys=keys, table=table, out_tiles=out_tiles,
@@ -444,9 +466,9 @@ def rasterize_bwd(
     masking are applied by the trainer (optax transform / the forward band
     mask respectively).
     """
-    tile = cfg.tile_size
-    tiles_x = camera.width // tile
-    tiles_y = camera.height // tile
+    tile = _cfg_tile(cfg)
+    tiles_x = camera.width // tile[0]
+    tiles_y = camera.height // tile[1]
     d_rgb_tiles = _image_to_tiles(d_rgb, tiles_x, tiles_y, tile)
     d_raw, (mag, npix, imggrad_tiles) = _blend_bwd_impl(
         ctx.raw, ctx.keys, ctx.table, ctx.out_tiles, d_rgb_tiles, tile,

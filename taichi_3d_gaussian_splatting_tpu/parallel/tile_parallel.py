@@ -50,6 +50,11 @@ from taichi_3d_gaussian_splatting_tpu.ops.transforms import (
 )
 
 
+def _tile_wh(cfg: RasterizerConfig) -> tuple:
+    th = cfg.tile_size if cfg.tile_h is None else cfg.tile_h
+    return cfg.tile_size, th
+
+
 def make_band_mesh(n_devices: Optional[int] = None,
                    axis: str = "band") -> Mesh:
     devices = jax.devices()
@@ -76,17 +81,21 @@ def rasterize_band_sharded(
     (P(axis) on dim 0); camera.height must divide by n_devices * tile_size.
     """
     n_dev = mesh.shape[axis]
-    tile = cfg.tile_size
-    assert camera.height % (n_dev * tile) == 0, (
-        f"height {camera.height} must divide {n_dev} bands of {tile}-px tiles"
+    tile_w, tile_h = _tile_wh(cfg)
+    assert camera.height % (n_dev * tile_h) == 0, (
+        f"height {camera.height} must divide {n_dev} bands of "
+        f"{tile_h}-px tile rows"
     )
     band_h = camera.height // n_dev
-    tiles_v_total = camera.height // tile
+    tiles_v_total = camera.height // tile_h
     # always the partition candidate path: per-band key density is ~1/n_dev
     # of the full frame any direct-mode cand_scale was probed on, so an
-    # inherited direct config would silently drop keys in every band
+    # inherited direct config would silently drop keys in every band.
+    # The vertical pad (in tile ROWS) must cover the full image plus the
+    # full-image cull's 3*tile_w-px boundary pad.
+    pad_rows = tiles_v_total + -(-3 * tile_w // tile_h)
     cfg_band = dataclasses.replace(
-        cfg, cull_pad_v_tiles=tiles_v_total + 3,
+        cfg, cull_pad_v_tiles=pad_rows,
         candidate_mode="partition", cand_scale=1)
 
     def per_device(xyz, feats, inval, q, t, K):
@@ -97,7 +106,7 @@ def rasterize_band_sharded(
             xyz, quaternion_to_rotation_matrix(q_cw), t_cw, K)
         vis_full = frustum_cull_mask(
             uv_full, xyz_cam[:, 2], inval, camera.width, camera.height,
-            cfg.near_plane, cfg.far_plane, tile,
+            cfg.near_plane, cfg.far_plane, (tile_w, tile_h),
         )
         K_band = K.at[1, 2].add(-(idx * band_h).astype(K.dtype))
         cam_band = Camera(K=K_band, width=camera.width, height=band_h)
@@ -160,13 +169,13 @@ def make_tp_train_step(config, height: int, width: int, mesh: Mesh,
     rcfg = config.rasterisation_config
     lcfg = config.loss_function_config
     n_dev = mesh.shape[axis]
-    tile = rcfg.tile_size
-    assert height % (n_dev * tile) == 0, (
-        f"height {height} must divide {n_dev} bands of {tile}-px tiles")
+    tile_w, tile_h = _tile_wh(rcfg)
+    assert height % (n_dev * tile_h) == 0, (
+        f"height {height} must divide {n_dev} bands of {tile_h}-px tile rows")
     band_h = height // n_dev
-    tiles_v_total = height // tile
+    tiles_v_total = height // tile_h
     cfg_band = dataclasses.replace(
-        rcfg, cull_pad_v_tiles=tiles_v_total + 3,
+        rcfg, cull_pad_v_tiles=tiles_v_total + -(-3 * tile_w // tile_h),
         candidate_mode="partition", cand_scale=1)
     feature_tx, position_tx = make_optimizers(config)
     gf_np = grad_factor_vector(rcfg)
@@ -183,7 +192,7 @@ def make_tp_train_step(config, height: int, width: int, mesh: Mesh,
             scene.xyz, quaternion_to_rotation_matrix(q_cw), t_cw, K)
         vis_full = frustum_cull_mask(
             uv_full, xyz_cam[:, 2], scene.invalid, width, height,
-            rcfg.near_plane, rcfg.far_plane, tile,
+            rcfg.near_plane, rcfg.far_plane, (tile_w, tile_h),
         )
         K_band = K.at[1, 2].add(-(idx * band_h).astype(K.dtype))
         cam_band = Camera(K=K_band, width=width, height=band_h)

@@ -9,15 +9,22 @@ by bench.py and the TPU smoke scripts, not the unit suite.
 """
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+TPU_TESTS = os.environ.get("TPU_TESTS", "") == "1"
+
+if not TPU_TESTS:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not TPU_TESTS:
+    # TPU_TESTS=1 keeps the session's real backend (axon TPU) so the
+    # `-m tpu` gate exercises compiled Pallas kernels on the chip;
+    # everything else runs on a virtual 8-device CPU mesh.
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Keep f32 matmuls exact in oracle comparisons.
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -216,19 +216,22 @@ class TestTiling:
 
     @pytest.mark.slow
 
-    def test_blend_chunk_256_matches_128(self):
+    @pytest.mark.parametrize("chunk", [256, 512])
+    def test_blend_fat_chunks_match_128(self, chunk):
         """Larger blend DMA chunks stay within the oracle-gate tolerance
         class: chunk boundaries move the cumsum rounding splits and can
-        flip lanes at the 1e-4 saturation threshold, so 256 vs 128 is
+        flip lanes at the 1e-4 saturation threshold, so 256/512 vs 128 is
         compared at the same atol/rtol the production-vs-oracle gradient
-        gates use (the 256 path also passes those gates directly; its
-        forward rgb is 1-ulp from the oracle via the 3-term cumsum)."""
+        gates use (the fat-chunk paths also pass those gates directly;
+        their forward rgb is 1-ulp from the oracle via the 3-term cumsum).
+        Fat chunks are the production default on TPU — at chunk=128 the
+        per-window VPU work barely covers the DMA latency."""
         import dataclasses
         xyz, feats, _ = make_scene(500, seed=13)
         cam = make_camera(w=128, h=64)
         invalid = jnp.zeros((500,), bool)
         base = RasterizerConfig(tile_size=32, key_cap=4096, interpret=True)
-        big = dataclasses.replace(base, blend_chunk=256)
+        big = dataclasses.replace(base, blend_chunk=chunk)
         out_a = rasterize(xyz, feats, invalid, Q_ID, T_ID, cam, base)
         out_b = rasterize(xyz, feats, invalid, Q_ID, T_ID, cam, big)
         np.testing.assert_allclose(np.asarray(out_a.rgb),
@@ -413,6 +416,74 @@ class TestGradients:
         assert np.asarray(stats.num_affected_pixels).max() > 0
         assert np.asarray(stats.magnitude_grad_viewspace).max() > 0
         assert stats.magnitude_grad_viewspace_on_image.shape == (64, 64, 2)
+
+
+class TestRectangularTiles:
+    """Wide, short tiles (the production default shape on TPU) must match
+    the oracle exactly like square tiles do. The oracle mirrors the
+    tile-shape-dependent parts (depth-key bits, bbox membership), so each
+    config is compared against its own oracle."""
+
+    @pytest.mark.parametrize("tile_wh", [(32, 8), (32, 16)])
+    def test_forward_matches_oracle(self, tile_wh):
+        import dataclasses
+        cfg = dataclasses.replace(CFG, tile_size=tile_wh[0], tile_h=tile_wh[1])
+        xyz, feats, invalid = make_scene(200, seed=13)
+        cam = make_camera()
+        out = rasterize(xyz, feats, invalid, Q_ID, T_ID, cam, cfg)
+        rgb_ref, depth_ref, alpha_ref, count_ref = render_reference(
+            xyz, feats, invalid, Q_ID, T_ID, cam, cfg
+        )
+        np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(rgb_ref),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out.alpha),
+                                   np.asarray(alpha_ref), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out.depth),
+                                   np.asarray(depth_ref), atol=5e-4)
+        np.testing.assert_array_equal(np.asarray(out.count),
+                                      np.asarray(count_ref))
+
+    def test_gradients_match_oracle(self):
+        import dataclasses
+        cfg = dataclasses.replace(CFG, tile_size=32, tile_h=8)
+        xyz, feats, invalid = make_scene(120, seed=5)
+        cam = make_camera()
+        gproj = jnp.asarray(
+            np.random.default_rng(0).normal(size=(64, 64, 3)).astype(np.float32)
+        )
+
+        def loss_prod(x, f):
+            out = rasterize(x, f, invalid, Q_ID, T_ID, cam, cfg)
+            return jnp.sum(out.rgb * gproj)
+
+        def loss_ref(x, f):
+            rgb, *_ = render_reference(x, f, invalid, Q_ID, T_ID, cam, cfg)
+            return jnp.sum(rgb * gproj)
+
+        gx, gf = jax.grad(loss_prod, argnums=(0, 1))(xyz, feats)
+        gx_r, gf_r = jax.grad(loss_ref, argnums=(0, 1))(xyz, feats)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_r),
+                                   atol=5e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gf_r),
+                                   atol=5e-4, rtol=1e-3)
+
+    def test_explicit_bwd_and_stats(self):
+        import dataclasses
+        cfg = dataclasses.replace(CFG, tile_size=32, tile_h=8)
+        xyz, feats, invalid = make_scene(100, seed=9)
+        cam = make_camera()
+        g = jnp.ones((64, 64, 3), jnp.float32) * 0.5
+        out, ctx, vjp = rasterize_fwd_ctx(
+            xyz, feats, invalid, Q_ID, T_ID, cam, cfg
+        )
+        (gx2, gf2), stats = rasterize_bwd(ctx, vjp, g, cam, cfg)
+        assert np.isfinite(np.asarray(gx2)).all()
+        assert np.asarray(stats.num_affected_pixels).max() > 0
+        assert stats.magnitude_grad_viewspace_on_image.shape == (64, 64, 2)
+
+    def test_tile_h_must_divide_tile_size(self):
+        with pytest.raises(ValueError):
+            RasterizerConfig(tile_size=32, tile_h=12)
 
 
 class TestRgbOnly:
