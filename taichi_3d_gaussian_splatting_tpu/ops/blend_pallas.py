@@ -192,18 +192,23 @@ def _forward_kernel(
     out_ref,
     # scratch
     tab_ref, acc_ref, t_ref, sem,
-    *, tile_w: int, tile_h: int, rgb_only: bool, chunk: int,
+    *, tile_w: int, tile_h: int, rgb_only: bool, chunk: int, fetch: int,
 ):
     px_count = tile_w * tile_h
+    nsub = fetch // chunk
     t = pl.program_id(0)
-    # ranges are unaligned; DMA windows start at the enclosing chunk
+    # ranges are unaligned; DMA windows start at the enclosing fetch
     # boundary (the hint lets Mosaic prove lane alignment) and lane masks
-    # cut out the tile's actual [start, end) span
+    # cut out the tile's actual [start, end) span. ``fetch`` decouples the
+    # DMA window width from the ``chunk`` compute width: one (16, fetch)
+    # transfer amortizes DMA issue/semaphore latency over fetch/chunk
+    # compute sub-chunks while the MXU cumsum stays at the cheap chunk
+    # width (the transmittance carry already propagates across sub-chunks).
     start = start_ref[t]
     end = end_ref[t]
-    base = pl.multiple_of((start // chunk) * chunk, chunk)
+    base = pl.multiple_of((start // fetch) * fetch, fetch)
     n = end - start
-    nch = jnp.where(n > 0, pl.cdiv(end - base, chunk), 0)
+    nf = jnp.where(n > 0, pl.cdiv(end - base, fetch), 0)
 
     xy = _pixel_coords(tile_w, tile_h)
 
@@ -212,65 +217,74 @@ def _forward_kernel(
     # tests), 1 = product over included only (reported transmittance).
     t_ref[:] = jnp.ones((px_count, 8), jnp.float32)
 
-    def get_dma(slot, c):
+    def get_dma(slot, f):
         return pltpu.make_async_copy(
-            table_hbm.at[:, pl.ds(base + c * chunk, chunk)],
+            table_hbm.at[:, pl.ds(base + f * fetch, fetch)],
             tab_ref.at[slot], sem.at[slot],
         )
 
-    @pl.when(nch > 0)
+    @pl.when(nf > 0)
     def _():
         get_dma(0, 0).start()
 
-    def body(c, carry):
-        # double-buffered: the next chunk streams while this one computes.
-        # `inflight` = a DMA for chunk c was started (it must be waited even
-        # if blending saturated meanwhile); `active` = still blending.
+    def body(f, carry):
+        # double-buffered: the next window streams while this one computes.
+        # `inflight` = a DMA for window f was started (it must be waited
+        # even if blending saturated meanwhile); `active` = still blending.
         inflight, active = carry
 
         @pl.when(inflight)
         def _():
-            get_dma(c % 2, c).wait()
+            get_dma(f % 2, f).wait()
 
-        @pl.when(jnp.logical_and(active, c + 1 < nch))
+        @pl.when(jnp.logical_and(active, f + 1 < nf))
         def _():
-            get_dma((c + 1) % 2, c + 1).start()
+            get_dma((f + 1) % 2, f + 1).start()
 
-        @pl.when(active)
-        def _():
-            tab = tab_ref[c % 2]
-            t_run = t_ref[:, 0:1]
-            alpha_u, a, om, p_incl, t_excl, include, w, _, _ = _chunk_state(
-                tab, xy, start - base - c * chunk, end - base - c * chunk,
-                t_run, rgb_only=rgb_only,
-            )
-            acc = jax.lax.dot_general(
-                w, tab[6:10, :], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=HIGHEST,
-            )  # (PX, 4): [sum w*r, w*g, w*b, w*depth]
-            acc_ref[:, 0:4] = acc_ref[:, 0:4] + acc
-            t_ref[:, 0:1] = p_incl[:, chunk - 1 : chunk]
-            if not rgb_only:
-                # depth normalizer, per-pixel blend count and the reported
-                # transmittance: only the full path consumes them
-                # (reference K6's rgb_only template flag skips them too)
-                w_sum = jnp.sum(w, axis=1, keepdims=True)
-                cnt = jnp.sum(include.astype(jnp.float32), axis=1,
-                              keepdims=True)
-                acc_ref[:, 4:5] = acc_ref[:, 4:5] + w_sum
-                acc_ref[:, 5:6] = acc_ref[:, 5:6] + cnt
-                t_fin = jnp.min(
-                    jnp.where(include, p_incl, jnp.float32(2.0)), axis=1,
-                    keepdims=True,
-                )
-                t_ref[:, 1:2] = jnp.minimum(t_ref[:, 1:2], t_fin)
+        for s in range(nsub):
+            # first table lane of this compute sub-chunk; skip sub-chunks
+            # entirely outside [start, end) or past per-tile saturation —
+            # both exact (out-of-range lanes are identity, saturated pixels
+            # contribute w = 0)
+            lo = base + f * fetch + s * chunk
+            live = jnp.logical_and(lo < end, lo + chunk > start)
+            not_sat = jnp.max(t_ref[:, 0:1]) >= T_SATURATION_EPS
+
+            @pl.when(jnp.logical_and(jnp.logical_and(active, live), not_sat))
+            def _(s=s, lo=lo):
+                tab = tab_ref[f % 2, :, s * chunk : (s + 1) * chunk]
+                t_run = t_ref[:, 0:1]
+                alpha_u, a, om, p_incl, t_excl, include, w, _, _ = (
+                    _chunk_state(tab, xy, start - lo, end - lo, t_run,
+                                 rgb_only=rgb_only))
+                acc = jax.lax.dot_general(
+                    w, tab[6:10, :], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=HIGHEST,
+                )  # (PX, 4): [sum w*r, w*g, w*b, w*depth]
+                acc_ref[:, 0:4] = acc_ref[:, 0:4] + acc
+                t_ref[:, 0:1] = p_incl[:, chunk - 1 : chunk]
+                if not rgb_only:
+                    # depth normalizer, per-pixel blend count and the
+                    # reported transmittance: only the full path consumes
+                    # them (reference K6's rgb_only template flag skips
+                    # them too)
+                    w_sum = jnp.sum(w, axis=1, keepdims=True)
+                    cnt = jnp.sum(include.astype(jnp.float32), axis=1,
+                                  keepdims=True)
+                    acc_ref[:, 4:5] = acc_ref[:, 4:5] + w_sum
+                    acc_ref[:, 5:6] = acc_ref[:, 5:6] + cnt
+                    t_fin = jnp.min(
+                        jnp.where(include, p_incl, jnp.float32(2.0)), axis=1,
+                        keepdims=True,
+                    )
+                    t_ref[:, 1:2] = jnp.minimum(t_ref[:, 1:2], t_fin)
 
         saturated = jnp.max(t_ref[:, 0:1]) < T_SATURATION_EPS
-        next_inflight = jnp.logical_and(active, c + 1 < nch)
+        next_inflight = jnp.logical_and(active, f + 1 < nf)
         next_active = jnp.logical_and(active, jnp.logical_not(saturated))
         return next_inflight, next_active
 
-    jax.lax.fori_loop(0, nch, body, (nch > 0, True))
+    jax.lax.fori_loop(0, nf, body, (nf > 0, True))
 
     out = jnp.concatenate(
         [acc_ref[:, 0:6], t_ref[:, 1:2], jnp.zeros((px_count, 1), jnp.float32)],
@@ -284,21 +298,26 @@ def blend_forward(
     tile_start: jnp.ndarray,   # (num_tiles,) int32, CHUNK-aligned
     tile_end: jnp.ndarray,     # (num_tiles,) int32
     *, tile, tiles_x: int, tiles_y: int, rgb_only: bool = False,
-    chunk: int = CHUNK, interpret: bool = False,
+    chunk: int = CHUNK, fetch: int = None, interpret: bool = False,
 ):
     """Returns (num_tiles, tile_w*tile_h, 8) packed per-pixel outputs:
     [r, g, b, depth_weighted_sum, weight_sum, include_count, T_final, 0]
     (rgb_only: only the first three channels are meaningful).
-    ``tile``: int (square) or (tile_w, tile_h).
+    ``tile``: int (square) or (tile_w, tile_h). ``fetch``: DMA window
+    width in key lanes (chunk multiple; default = chunk), amortizing DMA
+    issue latency over fetch/chunk compute sub-chunks.
     """
     from taichi_3d_gaussian_splatting_tpu.ops.tiling import tile_wh
     tile_w, tile_h = tile_wh(tile)
+    if fetch is None:
+        fetch = chunk
     num_tiles = tiles_x * tiles_y
     px_count = tile_w * tile_h
     assert chunk % 128 == 0, "DMA windows must stay lane-aligned"
-    assert table.shape[1] % chunk == 0, "cap_pad must be a chunk multiple"
+    assert fetch % chunk == 0, "fetch must be a chunk multiple"
+    assert table.shape[1] % fetch == 0, "cap_pad must be a fetch multiple"
     kernel = functools.partial(_forward_kernel, tile_w=tile_w, tile_h=tile_h,
-                               rgb_only=rgb_only, chunk=chunk)
+                               rgb_only=rgb_only, chunk=chunk, fetch=fetch)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -307,7 +326,7 @@ def blend_forward(
             (1, px_count, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 16, chunk), jnp.float32),  # double buffer
+            pltpu.VMEM((2, 16, fetch), jnp.float32),  # double buffer
             pltpu.VMEM((px_count, 8), jnp.float32),
             pltpu.VMEM((px_count, 8), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -338,20 +357,21 @@ def _backward_kernel(
     dtab_hbm, imggrad_ref,
     # scratch
     tab_ref, drow_ref, carry_ref, rmw_ref, in_sem, out_sem, rmw_sem,
-    *, tile_w: int, tile_h: int, extra_info: bool, chunk: int,
+    *, tile_w: int, tile_h: int, extra_info: bool, chunk: int, fetch: int,
 ):
     px_count = tile_w * tile_h
+    nsub = fetch // chunk
     t = pl.program_id(0)
-    # unaligned ranges; see _forward_kernel. The FIRST window may be shared
-    # with the previous tile's tail (windows are chunk-aligned, tiles are
-    # contiguous in key space), so chunk 0 of a misaligned tile
-    # READ-MODIFY-WRITES the existing output window — the grid is
-    # sequential, making this race-free.
+    # unaligned ranges; see _forward_kernel (incl. the fetch-vs-chunk
+    # decoupling). The FIRST window may be shared with the previous tile's
+    # tail (windows are fetch-aligned, tiles are contiguous in key space),
+    # so window 0 of a misaligned tile READ-MODIFY-WRITES the existing
+    # output window — the grid is sequential, making this race-free.
     start = start_ref[t]
     end = end_ref[t]
-    base = pl.multiple_of((start // chunk) * chunk, chunk)
+    base = pl.multiple_of((start // fetch) * fetch, fetch)
     n = end - start
-    nch = jnp.where(n > 0, pl.cdiv(end - base, chunk), 0)
+    nf = jnp.where(n > 0, pl.cdiv(end - base, fetch), 0)
     shared_head = start > base
 
     xy = _pixel_coords(tile_w, tile_h)
@@ -367,167 +387,184 @@ def _backward_kernel(
     )
     imggrad_ref[0] = jnp.zeros((px_count, 2), jnp.float32)
 
-    def get_in_dma(slot, c):
+    def get_in_dma(slot, f):
         return pltpu.make_async_copy(
-            table_hbm.at[:, pl.ds(base + c * chunk, chunk)],
+            table_hbm.at[:, pl.ds(base + f * fetch, fetch)],
             tab_ref.at[slot], in_sem.at[slot],
         )
 
-    def get_out_dma(slot, c):
+    def get_out_dma(slot, f):
         return pltpu.make_async_copy(
             drow_ref.at[slot],
-            dtab_hbm.at[:, pl.ds(base + c * chunk, chunk)],
+            dtab_hbm.at[:, pl.ds(base + f * fetch, fetch)],
             out_sem.at[slot],
         )
 
-    @pl.when(nch > 0)
+    @pl.when(nf > 0)
     def _():
         get_in_dma(0, 0).start()
 
-    # fetch the previous tile's tail of the shared window before chunk 0
-    @pl.when(jnp.logical_and(nch > 0, shared_head))
+    # fetch the previous tile's tail of the shared window before window 0
+    @pl.when(jnp.logical_and(nf > 0, shared_head))
     def _():
         pltpu.make_async_copy(
-            dtab_hbm.at[:, pl.ds(base, chunk)], rmw_ref, rmw_sem
+            dtab_hbm.at[:, pl.ds(base, fetch)], rmw_ref, rmw_sem
         ).start()
 
-    def body(c, state):
-        # double-buffered in/out: inflight = in-DMA(c) started; active =
-        # still blending. The out-DMA runs every chunk (zeros when idle);
-        # wait out-DMA(c-2) before reusing its drow slot.
+    def body(f, state):
+        # double-buffered in/out: inflight = in-DMA(f) started; active =
+        # still blending. The out-DMA runs every window (zeros when idle);
+        # wait out-DMA(f-2) before reusing its drow slot.
         inflight, active = state
 
         @pl.when(inflight)
         def _():
-            get_in_dma(c % 2, c).wait()
+            get_in_dma(f % 2, f).wait()
 
-        @pl.when(jnp.logical_and(active, c + 1 < nch))
+        @pl.when(jnp.logical_and(active, f + 1 < nf))
         def _():
-            get_in_dma((c + 1) % 2, c + 1).start()
+            get_in_dma((f + 1) % 2, f + 1).start()
 
-        @pl.when(c >= 2)
+        @pl.when(f >= 2)
         def _():
-            get_out_dma(c % 2, c - 2).wait()
+            get_out_dma(f % 2, f - 2).wait()
 
-        # chunk 0 of a misaligned tile merges onto the previous tile's tail
-        @pl.when(jnp.logical_and(c == 0, shared_head))
+        # window 0 of a misaligned tile merges onto the previous tile's tail
+        @pl.when(jnp.logical_and(f == 0, shared_head))
         def _():
             pltpu.make_async_copy(
-                dtab_hbm.at[:, pl.ds(base, chunk)], rmw_ref, rmw_sem
+                dtab_hbm.at[:, pl.ds(base, fetch)], rmw_ref, rmw_sem
             ).wait()
 
-        @pl.when(jnp.logical_not(active))
-        def _():
-            drow_ref[c % 2] = jnp.where(
-                jnp.logical_and(c == 0, shared_head), rmw_ref[:],
-                jnp.zeros((16, chunk), jnp.float32),
-            )
+        # prefill the out window (previous tile's tail at a shared window
+        # 0, zeros otherwise); active sub-chunks accumulate onto it
+        drow_ref[f % 2] = jnp.where(
+            jnp.logical_and(f == 0, shared_head), rmw_ref[:],
+            jnp.zeros((16, fetch), jnp.float32),
+        )
 
-        @pl.when(active)
-        def _():
-            tab = tab_ref[c % 2]
-            t_run = carry_ref[:, 0:1]
-            ga_prev = carry_ref[:, 1:2]
-            alpha_u, a, om, p_incl, t_excl, include, w, dx, dy = _chunk_state(
-                tab, xy, start - base - c * chunk, end - base - c * chunk,
-                t_run
-            )
-            # g.c per (pixel, key): 4 broadcast FMAs on the VPU (K=4 is a
-            # degenerate MXU contraction)
-            gc = (g[:, 0:1] * tab[6:7, :] + g[:, 1:2] * tab[7:8, :]
-                  + g[:, 2:3] * tab[8:9, :] + g[:, 3:4] * tab[9:10, :])
-            gcw = gc * w
-            ga = ga_prev + _cumsum_mxu(gcw)  # inclusive prefix on MXU
-            s_after = g_cfin - ga
-            dalpha = jnp.where(include, gc * t_excl - s_after / om, 0.0)
-            de = dalpha * alpha_u  # dL/d_exponent, (PX, chunk)
+        for s in range(nsub):
+            lo = base + f * fetch + s * chunk
+            live = jnp.logical_and(lo < end, lo + chunk > start)
 
-            # Moments: (8, chunk) = mono^T @ de — every pixel-reduction the
-            # per-key gradients need, in one MXU op (K=PX, f32 HIGHEST).
-            De = jax.lax.dot_general(
-                mono, de, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=HIGHEST,
-            )
-            Sxx, Syy, Sxy = De[0:1, :], De[1:2, :], De[2:3, :]
-            Su, Sv, S1 = De[3:4, :], De[4:5, :], De[5:6, :]
-            u = tab[0:1, :]
-            v = tab[1:2, :]
-            ca = tab[2:3, :]
-            cb = tab[3:4, :]
-            cc = tab[4:5, :]
-            Eu = Su - u * S1   # sum de * dx
-            Ev = Sv - v * S1   # sum de * dy
-            d_u = ca * Eu + cb * Ev
-            d_v = cc * Ev + cb * Eu
-            # EXACT conic gradients: e = -0.5 (a dx^2 + c dy^2) - b dx dy
-            Sdx2 = Sxx - 2.0 * u * Su + u * u * S1
-            Sdy2 = Syy - 2.0 * v * Sv + v * v * S1
-            Sdxy = Sxy - u * Sv - v * Su + u * v * S1
-            d_ca = -0.5 * Sdx2
-            d_cb = -Sdxy
-            d_cc = -0.5 * Sdy2
-            d_logop = S1
+            _backward_sub(
+                jnp.logical_and(
+                    jnp.logical_and(active, live),
+                    jnp.max(carry_ref[:, 0:1]) >= T_SATURATION_EPS),
+                s, lo, f, start, end, xy, mono, g, cfin, g_cfin,
+                tab_ref, drow_ref, carry_ref, imggrad_ref,
+                chunk=chunk, extra_info=extra_info)
 
-            # d_color rows: (4, chunk) = g^T @ w (K=PX, f32 HIGHEST)
-            dcol = jax.lax.dot_general(
-                g, w, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=HIGHEST,
-            )
-
-            if extra_info:
-                # per-(pixel, key) viewspace grads, directly from dx/dy
-                gx = de * (ca * dx + cb * dy)
-                gy = de * (cb * dx + cc * dy)
-                mag = jnp.sqrt(gx * gx + gy * gy)        # (PX, chunk)
-                mag_per_key = jnp.sum(mag, axis=0, keepdims=True)  # (1, chunk)
-                npix = jnp.sum(include.astype(jnp.float32), axis=0,
-                               keepdims=True)
-                imggrad_ref[0] = imggrad_ref[0] + jnp.concatenate(
-                    [jnp.sum(jnp.abs(gx), axis=1, keepdims=True),
-                     jnp.sum(jnp.abs(gy), axis=1, keepdims=True)], axis=1,
-                )
-            else:
-                mag_per_key = jnp.zeros((1, chunk), jnp.float32)
-                npix = jnp.zeros((1, chunk), jnp.float32)
-
-            zrow = jnp.zeros((1, chunk), jnp.float32)
-            drows = jnp.concatenate(
-                [d_u, d_v, d_ca, d_cb, d_cc, d_logop,
-                 dcol,  # rows 6..9 (row 9 = sum w * g[:,3] = 0)
-                 mag_per_key, npix, zrow, zrow, zrow, zrow],
-                axis=0,
-            )  # (16, chunk)
-            lane16 = jax.lax.broadcasted_iota(jnp.int32, (16, chunk), 1)
-            mask16 = jnp.logical_and(
-                lane16 >= start - base - c * chunk,
-                lane16 < end - base - c * chunk,
-            )
-            ours = jnp.where(mask16, drows, 0.0)
-            prev = jnp.where(
-                jnp.logical_and(c == 0, shared_head), rmw_ref[:], 0.0
-            )
-            drow_ref[c % 2] = ours + prev
-
-            carry_ref[:, 0:1] = p_incl[:, chunk - 1 : chunk]
-            carry_ref[:, 1:2] = ga[:, chunk - 1 : chunk]
-
-        get_out_dma(c % 2, c).start()
+        get_out_dma(f % 2, f).start()
 
         saturated = jnp.max(carry_ref[:, 0:1]) < T_SATURATION_EPS
-        next_inflight = jnp.logical_and(active, c + 1 < nch)
+        next_inflight = jnp.logical_and(active, f + 1 < nf)
         next_active = jnp.logical_and(active, jnp.logical_not(saturated))
         return next_inflight, next_active
 
-    jax.lax.fori_loop(0, nch, body, (nch > 0, True))
+    jax.lax.fori_loop(0, nf, body, (nf > 0, True))
 
     # drain the last two out-DMAs
-    @pl.when(nch >= 2)
+    @pl.when(nf >= 2)
     def _():
-        get_out_dma((nch - 2) % 2, nch - 2).wait()
+        get_out_dma((nf - 2) % 2, nf - 2).wait()
 
-    @pl.when(nch >= 1)
+    @pl.when(nf >= 1)
     def _():
-        get_out_dma((nch - 1) % 2, nch - 1).wait()
+        get_out_dma((nf - 1) % 2, nf - 1).wait()
+
+
+def _backward_sub(run, s, lo, f, start, end, xy, mono, g, cfin, g_cfin,
+                  tab_ref, drow_ref, carry_ref, imggrad_ref,
+                  *, chunk: int, extra_info: bool):
+    """One compute sub-chunk of the backward sweep (see _backward_kernel)."""
+
+    @pl.when(run)
+    def _():
+        tab = tab_ref[f % 2, :, s * chunk : (s + 1) * chunk]
+        t_run = carry_ref[:, 0:1]
+        ga_prev = carry_ref[:, 1:2]
+        alpha_u, a, om, p_incl, t_excl, include, w, dx, dy = _chunk_state(
+            tab, xy, start - lo, end - lo, t_run
+        )
+        # g.c per (pixel, key): 4 broadcast FMAs on the VPU (K=4 is a
+        # degenerate MXU contraction)
+        gc = (g[:, 0:1] * tab[6:7, :] + g[:, 1:2] * tab[7:8, :]
+              + g[:, 2:3] * tab[8:9, :] + g[:, 3:4] * tab[9:10, :])
+        gcw = gc * w
+        ga = ga_prev + _cumsum_mxu(gcw)  # inclusive prefix on MXU
+        s_after = g_cfin - ga
+        dalpha = jnp.where(include, gc * t_excl - s_after / om, 0.0)
+        de = dalpha * alpha_u  # dL/d_exponent, (PX, chunk)
+
+        # Moments: (8, chunk) = mono^T @ de — every pixel-reduction the
+        # per-key gradients need, in one MXU op (K=PX, f32 HIGHEST).
+        De = jax.lax.dot_general(
+            mono, de, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HIGHEST,
+        )
+        Sxx, Syy, Sxy = De[0:1, :], De[1:2, :], De[2:3, :]
+        Su, Sv, S1 = De[3:4, :], De[4:5, :], De[5:6, :]
+        u = tab[0:1, :]
+        v = tab[1:2, :]
+        ca = tab[2:3, :]
+        cb = tab[3:4, :]
+        cc = tab[4:5, :]
+        Eu = Su - u * S1   # sum de * dx
+        Ev = Sv - v * S1   # sum de * dy
+        d_u = ca * Eu + cb * Ev
+        d_v = cc * Ev + cb * Eu
+        # EXACT conic gradients: e = -0.5 (a dx^2 + c dy^2) - b dx dy
+        Sdx2 = Sxx - 2.0 * u * Su + u * u * S1
+        Sdy2 = Syy - 2.0 * v * Sv + v * v * S1
+        Sdxy = Sxy - u * Sv - v * Su + u * v * S1
+        d_ca = -0.5 * Sdx2
+        d_cb = -Sdxy
+        d_cc = -0.5 * Sdy2
+        d_logop = S1
+
+        # d_color rows: (4, chunk) = g^T @ w (K=PX, f32 HIGHEST)
+        dcol = jax.lax.dot_general(
+            g, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HIGHEST,
+        )
+
+        if extra_info:
+            # per-(pixel, key) viewspace grads, directly from dx/dy
+            gx = de * (ca * dx + cb * dy)
+            gy = de * (cb * dx + cc * dy)
+            mag = jnp.sqrt(gx * gx + gy * gy)        # (PX, chunk)
+            mag_per_key = jnp.sum(mag, axis=0, keepdims=True)  # (1, chunk)
+            npix = jnp.sum(include.astype(jnp.float32), axis=0,
+                           keepdims=True)
+            imggrad_ref[0] = imggrad_ref[0] + jnp.concatenate(
+                [jnp.sum(jnp.abs(gx), axis=1, keepdims=True),
+                 jnp.sum(jnp.abs(gy), axis=1, keepdims=True)], axis=1,
+            )
+        else:
+            mag_per_key = jnp.zeros((1, chunk), jnp.float32)
+            npix = jnp.zeros((1, chunk), jnp.float32)
+
+        zrow = jnp.zeros((1, chunk), jnp.float32)
+        drows = jnp.concatenate(
+            [d_u, d_v, d_ca, d_cb, d_cc, d_logop,
+             dcol,  # rows 6..9 (row 9 = sum w * g[:,3] = 0)
+             mag_per_key, npix, zrow, zrow, zrow, zrow],
+            axis=0,
+        )  # (16, chunk)
+        lane16 = jax.lax.broadcasted_iota(jnp.int32, (16, chunk), 1)
+        mask16 = jnp.logical_and(
+            lane16 >= start - lo,
+            lane16 < end - lo,
+        )
+        ours = jnp.where(mask16, drows, 0.0)
+        # accumulate onto the prefilled window (zeros, or the previous
+        # tile's tail at a shared window 0)
+        sl = slice(s * chunk, (s + 1) * chunk)
+        drow_ref[f % 2, :, sl] = drow_ref[f % 2, :, sl] + ours
+
+        carry_ref[:, 0:1] = p_incl[:, chunk - 1 : chunk]
+        carry_ref[:, 1:2] = ga[:, chunk - 1 : chunk]
 
 
 def blend_backward(
@@ -537,7 +574,7 @@ def blend_backward(
     d_rgb_tiles: jnp.ndarray,  # (num_tiles, px, 4) image cotangent (4th ch 0)
     cfin_tiles: jnp.ndarray,   # (num_tiles, px, 4) forward rgb output
     *, tile, tiles_x: int, tiles_y: int, extra_info: bool = True,
-    chunk: int = CHUNK, interpret: bool = False,
+    chunk: int = CHUNK, fetch: int = None, interpret: bool = False,
 ):
     """Returns (d_table (16, cap_pad), |grad_uv| image (num_tiles, px, 2)).
 
@@ -548,14 +585,18 @@ def blend_backward(
     """
     from taichi_3d_gaussian_splatting_tpu.ops.tiling import tile_wh
     tile_w, tile_h = tile_wh(tile)
+    if fetch is None:
+        fetch = chunk
     num_tiles = tiles_x * tiles_y
     px_count = tile_w * tile_h
     cap_pad = table.shape[1]
     dtab_init = jnp.zeros((16, cap_pad), jnp.float32)
     assert chunk % 128 == 0, "DMA windows must stay lane-aligned"
-    assert table.shape[1] % chunk == 0, "cap_pad must be a chunk multiple"
+    assert fetch % chunk == 0, "fetch must be a chunk multiple"
+    assert table.shape[1] % fetch == 0, "cap_pad must be a fetch multiple"
     kernel = functools.partial(_backward_kernel, tile_w=tile_w, tile_h=tile_h,
-                               extra_info=extra_info, chunk=chunk)
+                               extra_info=extra_info, chunk=chunk,
+                               fetch=fetch)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -573,10 +614,10 @@ def blend_backward(
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 16, chunk), jnp.float32),  # in double buffer
-            pltpu.VMEM((2, 16, chunk), jnp.float32),  # out double buffer
+            pltpu.VMEM((2, 16, fetch), jnp.float32),  # in double buffer
+            pltpu.VMEM((2, 16, fetch), jnp.float32),  # out double buffer
             pltpu.VMEM((px_count, 8), jnp.float32),
-            pltpu.VMEM((16, chunk), jnp.float32),     # shared-window RMW
+            pltpu.VMEM((16, fetch), jnp.float32),     # shared-window RMW
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),

@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from taichi_3d_gaussian_splatting_tpu.ops import blend_pallas
+from taichi_3d_gaussian_splatting_tpu.ops import packing
 from taichi_3d_gaussian_splatting_tpu.ops import tiling
 from taichi_3d_gaussian_splatting_tpu.ops.attributes import (
     compute_point_attributes,
@@ -75,10 +76,14 @@ class RasterizerConfig:
                                  # in-tile alpha < 1/255 to the sentinel
                                  # inside the expand kernel (bit-identical
                                  # output, smaller blend ranges)
-    blend_chunk: int = 128       # key lanes per blend-kernel DMA chunk
-                                 # (multiple of 128; larger chunks amortize
-                                 # per-chunk loop/DMA overhead at the cost
-                                 # of coarser early-exit granularity)
+    blend_chunk: int = 128       # key lanes per blend-kernel compute
+                                 # sub-chunk (multiple of 128; wider chunks
+                                 # pay quadratic MXU cumsum width)
+    blend_fetch: Optional[int] = None  # key lanes per blend-kernel DMA
+                                 # window (blend_chunk multiple; None =
+                                 # blend_chunk). Wide windows amortize DMA
+                                 # issue latency over fetch/chunk compute
+                                 # sub-chunks; key_cap must be a multiple
     candidate_mode: str = "partition"  # "partition": N-length sort packs
                                  # key owners into a prefix (robust at any
                                  # visibility density); "direct": skip that
@@ -99,6 +104,15 @@ class RasterizerConfig:
             # divisible into tile rows
             raise ValueError(
                 f"tile_h={self.tile_h} must divide tile_size={self.tile_size}")
+        if self.blend_fetch is not None:
+            if self.blend_fetch % self.blend_chunk != 0:
+                raise ValueError(
+                    f"blend_fetch={self.blend_fetch} must be a multiple of "
+                    f"blend_chunk={self.blend_chunk}")
+            if self.key_cap % self.blend_fetch != 0:
+                raise ValueError(
+                    f"key_cap={self.key_cap} must be a multiple of "
+                    f"blend_fetch={self.blend_fetch}")
 
 
 class Camera(NamedTuple):
@@ -189,7 +203,8 @@ def _blend_core_fwd(raw: RawAttrs, table: jnp.ndarray, keys: tiling.TileKeys,
     out_tiles = blend_pallas.blend_forward(
         table, keys.tile_start, keys.tile_end,
         tile=tile, tiles_x=tiles_x, tiles_y=tiles_y, rgb_only=cfg.rgb_only,
-        chunk=cfg.blend_chunk, interpret=cfg.interpret,
+        chunk=cfg.blend_chunk, fetch=cfg.blend_fetch,
+        interpret=cfg.interpret,
     )
     residuals = (raw, keys, table, out_tiles)
     return out_tiles, residuals
@@ -219,22 +234,33 @@ def _blend_bwd_impl(raw, keys, table, out_tiles, d_rgb_tiles, tile, grid_hw,
         table, keys.tile_start, keys.tile_end, g4, cfin4,
         tile=tile, tiles_x=tiles_x, tiles_y=tiles_y,
         extra_info=cfg.extra_info, chunk=cfg.blend_chunk,
-        interpret=cfg.interpret,
+        fetch=cfg.blend_fetch, interpret=cfg.interpret,
     )
 
     # tile-layout order -> original-key order, realized as one
     # payload-riding sort (tiling.regroup_rows_by_slot), then per-point
     # rows via the ragged segment reduction. No masking/padding glue: the
     # blend backward zero-fills unwritten lanes (aliased output) and the
-    # reduction kernel clamps its windows to the array. Only the 11
-    # meaningful rows ride (row 9 is structurally zero; rows 12-15 unused):
-    # 12 sort operands total — one more hits the variadic-sort cost cliff
-    # (13 operands measured 5x slower at 2M lanes).
+    # reduction kernel clamps its windows to the array. Sort cost is
+    # ~linear in operand bytes (and cliffs above 12 operands: 13 measured
+    # 5x slower at 2M lanes), so only meaningful rows ride (row 9 is
+    # structurally zero; rows 12-15 unused) and the two densification
+    # STAT rows (|grad_uv| magnitude, affected-pixel count) ride as ONE
+    # bf16 pair packed into an f32 bit pattern — they only feed densify
+    # heuristics, where truncating to 8 mantissa bits is harmless, and
+    # the pair is unpacked (3 rows of elementwise traffic, ~free) before
+    # the per-point reduction so sums stay in f32. 11 sort operands.
+    packed = packing.pack_bf16_pair_trunc(
+        d_table_sorted[10], d_table_sorted[11])
     d_rows = jnp.concatenate(
-        [d_table_sorted[0:9], d_table_sorted[10:12]], axis=0
-    )  # (11, cap): d_u,d_v,d_ca,d_cb,d_cc,d_logro,d_r,d_g,d_b,mag,npix
-    d_orig = tiling.regroup_rows_by_slot(
+        [d_table_sorted[0:9], packed[None]], axis=0
+    )  # (10, cap): d_u,d_v,d_ca,d_cb,d_cc,d_logro,d_r,d_g,d_b,mag|npix
+    d_orig10 = tiling.regroup_rows_by_slot(
         d_rows, keys.orig_slot, cfg.key_cap
+    )  # (10, key_cap)
+    mag_o, npix_o = packing.unpack_bf16_pair(d_orig10[9])
+    d_orig = jnp.concatenate(
+        [d_orig10[0:9], mag_o[None], npix_o[None]], axis=0
     )  # (11, key_cap)
     per_point = segment_reduce(
         d_orig, keys.offsets, keys.counts, interpret=cfg.interpret
