@@ -120,9 +120,13 @@ def _cumsum_mxu(x: jnp.ndarray, terms: int = 3) -> jnp.ndarray:
         parts.append((r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16))
     out = None
     for part in parts:
+        # precision=DEFAULT: operands are intentionally bf16; an ambient
+        # "highest" default would stamp contract_precision<fp32> onto a
+        # bf16 matmul, which Mosaic rejects ("Bad lhs type")
         t = jax.lax.dot_general(
             part, tri, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
         out = t if out is None else out + t
     return out
@@ -245,12 +249,22 @@ def _forward_kernel(
             # first table lane of this compute sub-chunk; skip sub-chunks
             # entirely outside [start, end) or past per-tile saturation —
             # both exact (out-of-range lanes are identity, saturated pixels
-            # contribute w = 0)
+            # contribute w = 0). With ONE sub-chunk per window (fetch ==
+            # chunk, the production default) both checks are redundant —
+            # `live` is always true for windows the chain visits and the
+            # `active` carry already folds in last window's saturation —
+            # and the per-window (PX, 1) max reduce they cost measured ~8%
+            # of the whole forward at bench shapes (round-3 regression).
             lo = base + f * fetch + s * chunk
-            live = jnp.logical_and(lo < end, lo + chunk > start)
-            not_sat = jnp.max(t_ref[:, 0:1]) >= T_SATURATION_EPS
+            if nsub == 1:
+                cond = active
+            else:
+                live = jnp.logical_and(lo < end, lo + chunk > start)
+                not_sat = jnp.max(t_ref[:, 0:1]) >= T_SATURATION_EPS
+                cond = jnp.logical_and(jnp.logical_and(active, live),
+                                       not_sat)
 
-            @pl.when(jnp.logical_and(jnp.logical_and(active, live), not_sat))
+            @pl.when(cond)
             def _(s=s, lo=lo):
                 tab = tab_ref[f % 2, :, s * chunk : (s + 1) * chunk]
                 t_run = t_ref[:, 0:1]
@@ -436,24 +450,44 @@ def _backward_kernel(
                 dtab_hbm.at[:, pl.ds(base, fetch)], rmw_ref, rmw_sem
             ).wait()
 
-        # prefill the out window (previous tile's tail at a shared window
-        # 0, zeros otherwise); active sub-chunks accumulate onto it
-        drow_ref[f % 2] = jnp.where(
-            jnp.logical_and(f == 0, shared_head), rmw_ref[:],
-            jnp.zeros((16, fetch), jnp.float32),
-        )
+        if nsub == 1:
+            # single sub-chunk per window (fetch == chunk, the production
+            # default): write the out window ONCE — zeros/rmw tail when
+            # idle, ours+prev directly when active (round-2 structure; the
+            # unconditional prefill + read-modify-accumulate costs an
+            # extra (16, fetch) write+read per window)
+            prev0 = lambda: jnp.where(
+                jnp.logical_and(f == 0, shared_head), rmw_ref[:],
+                jnp.zeros((16, fetch), jnp.float32))
 
-        for s in range(nsub):
-            lo = base + f * fetch + s * chunk
-            live = jnp.logical_and(lo < end, lo + chunk > start)
+            @pl.when(jnp.logical_not(active))
+            def _():
+                drow_ref[f % 2] = prev0()
 
             _backward_sub(
-                jnp.logical_and(
-                    jnp.logical_and(active, live),
-                    jnp.max(carry_ref[:, 0:1]) >= T_SATURATION_EPS),
-                s, lo, f, start, end, xy, mono, g, cfin, g_cfin,
-                tab_ref, drow_ref, carry_ref, imggrad_ref,
-                chunk=chunk, extra_info=extra_info)
+                active, 0, base + f * fetch, f, start, end, xy, mono, g,
+                cfin, g_cfin, tab_ref, drow_ref, carry_ref, imggrad_ref,
+                chunk=chunk, extra_info=extra_info, direct_prev=prev0)
+        else:
+            # prefill the out window (previous tile's tail at a shared
+            # window 0, zeros otherwise); active sub-chunks accumulate
+            # onto it
+            drow_ref[f % 2] = jnp.where(
+                jnp.logical_and(f == 0, shared_head), rmw_ref[:],
+                jnp.zeros((16, fetch), jnp.float32),
+            )
+
+            for s in range(nsub):
+                lo = base + f * fetch + s * chunk
+                live = jnp.logical_and(lo < end, lo + chunk > start)
+
+                _backward_sub(
+                    jnp.logical_and(
+                        jnp.logical_and(active, live),
+                        jnp.max(carry_ref[:, 0:1]) >= T_SATURATION_EPS),
+                    s, lo, f, start, end, xy, mono, g, cfin, g_cfin,
+                    tab_ref, drow_ref, carry_ref, imggrad_ref,
+                    chunk=chunk, extra_info=extra_info)
 
         get_out_dma(f % 2, f).start()
 
@@ -476,8 +510,12 @@ def _backward_kernel(
 
 def _backward_sub(run, s, lo, f, start, end, xy, mono, g, cfin, g_cfin,
                   tab_ref, drow_ref, carry_ref, imggrad_ref,
-                  *, chunk: int, extra_info: bool):
-    """One compute sub-chunk of the backward sweep (see _backward_kernel)."""
+                  *, chunk: int, extra_info: bool, direct_prev=None):
+    """One compute sub-chunk of the backward sweep (see _backward_kernel).
+
+    ``direct_prev``: when set (single-sub-chunk windows), a thunk whose
+    value this sub adds to its own rows and WRITES to the whole out window
+    — instead of accumulating onto a caller-prefilled window."""
 
     @pl.when(run)
     def _():
@@ -558,10 +596,14 @@ def _backward_sub(run, s, lo, f, start, end, xy, mono, g, cfin, g_cfin,
             lane16 < end - lo,
         )
         ours = jnp.where(mask16, drows, 0.0)
-        # accumulate onto the prefilled window (zeros, or the previous
-        # tile's tail at a shared window 0)
-        sl = slice(s * chunk, (s + 1) * chunk)
-        drow_ref[f % 2, :, sl] = drow_ref[f % 2, :, sl] + ours
+        if direct_prev is not None:
+            # single-sub window: one write of ours + (rmw tail | zeros)
+            drow_ref[f % 2] = ours + direct_prev()
+        else:
+            # accumulate onto the prefilled window (zeros, or the previous
+            # tile's tail at a shared window 0)
+            sl = slice(s * chunk, (s + 1) * chunk)
+            drow_ref[f % 2, :, sl] = drow_ref[f % 2, :, sl] + ours
 
         carry_ref[:, 0:1] = p_incl[:, chunk - 1 : chunk]
         carry_ref[:, 1:2] = ga[:, chunk - 1 : chunk]

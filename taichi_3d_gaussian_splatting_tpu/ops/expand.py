@@ -166,9 +166,15 @@ def _expand_kernel(
         mid = r1.astype(jnp.bfloat16)
         lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
         stacked = jnp.concatenate([hi, mid, lo], axis=0)  # (48, csub)
+        # precision pinned to DEFAULT: these operands are INTENTIONALLY
+        # bf16 (the Dekker split makes the sum exact), and an ambient
+        # jax_default_matmul_precision="highest" (tests/conftest.py sets it
+        # for the f32 oracle matmuls) would stamp contract_precision<fp32>
+        # onto a bf16 matmul — which Mosaic rejects ("Bad lhs type").
         t3 = jax.lax.dot_general(
             stacked, member, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )  # (48, sub)
         nr = cs.shape[0]
         E = (t3[0:nr, :] + t3[nr:2 * nr, :]) + t3[2 * nr:3 * nr, :]
@@ -242,7 +248,14 @@ def _expand_kernel(
                 valid,
                 jnp.logical_not(qmin > logro + (LOG255 + CULL_MARGIN)))
 
-        fused = jnp.where(valid, tid * (2 ** dbits) + dkey, sentinel)
+        # tid << dbits via shift, not `tid * 2**dbits`: Mosaic's int32
+        # multiply-by-large-power-of-two miscompiles at dbits >= 21 on
+        # small-shape kernels ("Bad lhs type" on an unrelated matmul /
+        # pathological compile hang, v5e libtpu 2026-08); the shift lowers
+        # cleanly at every shape. dkey < 2^dbits (tiling pre-clips), so
+        # shift+add is the same fused key.
+        fused = jnp.where(
+            valid, jax.lax.shift_left(tid, dbits) + dkey, sentinel)
         fused_ref[0:1, s * sub:(s + 1) * sub] = fused
 
         u_l = jnp.where(valid, u_raw, 0.0)

@@ -56,8 +56,12 @@ def dot_bf16x3(exact_bf16_lhs, rows_f32, dims):
     lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
     out = None
     for part in (hi, mid, lo):
+        # precision=DEFAULT: operands are intentionally bf16; an ambient
+        # "highest" default would stamp contract_precision<fp32> onto a
+        # bf16 matmul, which Mosaic rejects ("Bad lhs type")
         t = jax.lax.dot_general(lhs, part, dims,
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT)
         out = t if out is None else out + t
     return out
 
@@ -81,7 +85,8 @@ def dot_bf16x3_fused(member, rows_f32):
     stacked = jnp.concatenate([hi, mid, lo], axis=0)        # (3R, win)
     out = jax.lax.dot_general(
         lhs, stacked, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                  # (PB, 3R)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)                 # (PB, 3R)
     return (out[:, 0:r] + out[:, r:2 * r]) + out[:, 2 * r:3 * r]
 
 WINDOW = 1024        # lanes per DMA/matmul step
