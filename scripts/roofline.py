@@ -173,14 +173,13 @@ def main():
         blend_pallas.blend_forward, tile=32, tiles_x=tiles_x,
         tiles_y=tiles_y, chunk=cfg.blend_chunk))(
             table, keys.tile_start, keys.tile_end)
-    g4 = jnp.ones((num_tiles, px, 4), jnp.float32)
-    cfin = jnp.concatenate(
-        [out_tiles[..., 0:3], jnp.zeros_like(out_tiles[..., 0:1])], axis=-1)
+    g3 = jnp.ones((num_tiles, px, 3), jnp.float32)
+    cfin = out_tiles[..., 0:3]
     ms = bench_injit(
         functools.partial(blend_pallas.blend_backward, tile=32,
                           tiles_x=tiles_x, tiles_y=tiles_y, extra_info=False,
                           chunk=cfg.blend_chunk),
-        0, table, keys.tile_start, keys.tile_end, g4, cfin)
+        0, table, keys.tile_start, keys.tile_end, g3, cfin)
     # bwd reads table + g4 + cfin, writes 12 grad rows per cap lane
     bwd_bytes = live * 12 * 4 + 2 * num_tiles * px * 4 * 4 + cap * 12 * 4
     rows.append(row("blend bwd", ms, bwd_bytes, 2 * mxu_flops))
@@ -188,7 +187,7 @@ def main():
     d_table = jax.jit(functools.partial(
         blend_pallas.blend_backward, tile=32, tiles_x=tiles_x,
         tiles_y=tiles_y, extra_info=False, chunk=cfg.blend_chunk))(
-            table, keys.tile_start, keys.tile_end, g4, cfin)[0]
+            table, keys.tile_start, keys.tile_end, g3, cfin)[0]
 
     def bwd_tail(d_sorted, keys):
         # mirror rasterizer._blend_bwd_impl EXACTLY: only the 11

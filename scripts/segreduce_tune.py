@@ -79,7 +79,7 @@ def main():
         dt = (time.perf_counter() - t0) / ITERS * 1e3
         # correctness vs numpy on a coarse probe
         got = np.asarray(jax.jit(lambda d: sr.segment_reduce(
-            d, keys.offsets, keys.counts))(d_orig))[:n]
+            d, keys.offsets, keys.counts))(d_orig))[:, :n]
         if ref is None:
             off = np.asarray(keys.offsets)
             cnt = np.asarray(keys.counts)
@@ -91,7 +91,7 @@ def main():
             idxs = rng.choice(n, 200, replace=False)
             ref_rows = {int(i): dr[:, off[i]:off[i] + cnt[i]].sum(axis=1)
                         for i in idxs}
-        ok = all(np.allclose(got[i, :11], ref_rows[i], rtol=1e-5,
+        ok = all(np.allclose(got[:11, i], ref_rows[i], rtol=1e-5,
                              atol=1e-6) for i in ref_rows)
         print(f"PB={pb:5d} WIN={win:5d}  {dt:7.3f} ms  ok={ok}", flush=True)
 

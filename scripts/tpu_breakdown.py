@@ -146,21 +146,20 @@ def main():
         blend_pallas.blend_forward, tile=cfg.tile_size, tiles_x=tiles_x,
         tiles_y=tiles_y, chunk=cfg.blend_chunk))(
             table, keys.tile_start, keys.tile_end)
-    g4 = jnp.ones((tiles_x * tiles_y, cfg.tile_size ** 2, 4), jnp.float32)
-    cfin = jnp.concatenate(
-        [out_tiles[..., 0:3], jnp.zeros_like(out_tiles[..., 0:1])], axis=-1)
+    g3 = jnp.ones((tiles_x * tiles_y, cfg.tile_size ** 2, 3), jnp.float32)
+    cfin = out_tiles[..., 0:3]
 
     bench_injit(
         functools.partial(blend_pallas.blend_backward, tile=cfg.tile_size,
                           tiles_x=tiles_x, tiles_y=tiles_y, extra_info=False,
                           chunk=cfg.blend_chunk),
-        0, table, keys.tile_start, keys.tile_end, g4, cfin,
+        0, table, keys.tile_start, keys.tile_end, g3, cfin,
         name="blend bwd (pallas)")
 
     d_table = jax.jit(functools.partial(
         blend_pallas.blend_backward, tile=cfg.tile_size, tiles_x=tiles_x,
         tiles_y=tiles_y, extra_info=False, chunk=cfg.blend_chunk))(
-            table, keys.tile_start, keys.tile_end, g4, cfin)[0]
+            table, keys.tile_start, keys.tile_end, g3, cfin)[0]
 
     from taichi_3d_gaussian_splatting_tpu.ops.segment_reduce import (
         segment_reduce,

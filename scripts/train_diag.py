@@ -143,14 +143,13 @@ def main():
     tiles_x, tiles_y = w // 32, h // 32
     px = 32 * 32
     num_tiles = tiles_x * tiles_y
-    g4 = jnp.ones((num_tiles, px, 4), jnp.float32)
-    cfin = jnp.concatenate(
-        [ctx.out_tiles[..., 0:3], jnp.zeros((num_tiles, px, 1))], axis=-1)
+    g3 = jnp.ones((num_tiles, px, 3), jnp.float32)
+    cfin = ctx.out_tiles[..., 0:3]
     rec("blend_bwd", bench_injit(
         functools.partial(blend_pallas.blend_backward, tile=(32, 32),
                           tiles_x=tiles_x, tiles_y=tiles_y, extra_info=True,
                           chunk=cfg.blend_chunk, fetch=cfg.blend_fetch),
-        ctx.table, ctx.keys.tile_start, ctx.keys.tile_end, g4, cfin))
+        ctx.table, ctx.keys.tile_start, ctx.keys.tile_end, g3, cfin))
 
     # 4+5. full bwd impl (blend bwd + regroup + segreduce + raw algebra)
     d_rgb = jnp.ones((h, w, 3), jnp.float32)

@@ -132,6 +132,29 @@ def _cumsum_mxu(x: jnp.ndarray, terms: int = 3) -> jnp.ndarray:
     return out
 
 
+def _dot_dekker3(a, b, dims):
+    """f32 x f32 matmul in THREE native bf16 MXU passes.
+
+    Both operands 2-term Dekker-split (hi = bf16(x), lo = bf16(x - hi));
+    C = a_hi b_hi + a_hi b_lo + a_lo b_hi, dropping the ~2^-32 a_lo b_lo
+    term. Worst-case relative error ~2^-17 per product — two orders under
+    every oracle gate — where HIGHEST lowers to ~6 passes (measured
+    1.8 ms/frame slower across the blend forward at 428k) and DEFAULT's
+    single pass rounds operands to 8 mantissa bits (~4e-3, at the edge of
+    the on-chip gates). precision=DEFAULT on each pass keeps an ambient
+    highest-precision default from re-expanding the bf16 passes.
+    """
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    kw = dict(preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.DEFAULT)
+    return (jax.lax.dot_general(a_hi, b_hi, dims, **kw)
+            + (jax.lax.dot_general(a_hi, b_lo, dims, **kw)
+               + jax.lax.dot_general(a_lo, b_hi, dims, **kw)))
+
+
 def _chunk_state(tab, xy, lane_lo, lane_hi, t_run, rgb_only=False):
     """Shared fwd/bwd per-chunk recompute: alphas, masks, transmittances.
 
@@ -271,9 +294,8 @@ def _forward_kernel(
                 alpha_u, a, om, p_incl, t_excl, include, w, _, _ = (
                     _chunk_state(tab, xy, start - lo, end - lo, t_run,
                                  rgb_only=rgb_only))
-                acc = jax.lax.dot_general(
+                acc = _dot_dekker3(
                     w, tab[6:10, :], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=HIGHEST,
                 )  # (PX, 4): [sum w*r, w*g, w*b, w*depth]
                 acc_ref[:, 0:4] = acc_ref[:, 0:4] + acc
                 t_ref[:, 0:1] = p_incl[:, chunk - 1 : chunk]
@@ -371,7 +393,8 @@ def _backward_kernel(
     dtab_hbm, imggrad_ref,
     # scratch
     tab_ref, drow_ref, carry_ref, rmw_ref, in_sem, out_sem, rmw_sem,
-    *, tile_w: int, tile_h: int, extra_info: bool, chunk: int, fetch: int,
+    *, tile_w: int, tile_h: int, extra_info: bool, imggrad: bool,
+    chunk: int, fetch: int,
 ):
     px_count = tile_w * tile_h
     nsub = fetch // chunk
@@ -390,8 +413,8 @@ def _backward_kernel(
 
     xy = _pixel_coords(tile_w, tile_h)
     mono = _pixel_monomials(tile_w, tile_h)
-    g = g_ref[0]        # (PX, 4) d_rgb (4th channel zero)
-    cfin = cfin_ref[0]  # (PX, 4) final pre-background rgb
+    g = g_ref[0]        # (PX, 3) d_rgb
+    cfin = cfin_ref[0]  # (PX, 3) final pre-background rgb
     g_cfin = jnp.sum(g * cfin, axis=1, keepdims=True)  # (PX, 1)
 
     # carry columns: 0 = T_run, 1 = g.A prefix
@@ -427,9 +450,13 @@ def _backward_kernel(
 
     def body(f, state):
         # double-buffered in/out: inflight = in-DMA(f) started; active =
-        # still blending. The out-DMA runs every window (zeros when idle);
-        # wait out-DMA(f-2) before reusing its drow slot.
-        inflight, active = state
+        # still blending. Saturated (idle) windows skip BOTH the drow
+        # write and the out-DMA entirely — the d_table output is aliased
+        # onto a zero-filled buffer, so unwritten windows are already
+        # correct (and window 0, the only one that may carry the previous
+        # tile's tail, always runs: saturation can only flip at f >= 1).
+        # out_even/out_odd track which drow slot has an out-DMA in flight.
+        inflight, active, out_even, out_odd = state
 
         @pl.when(inflight)
         def _():
@@ -439,9 +466,11 @@ def _backward_kernel(
         def _():
             get_in_dma((f + 1) % 2, f + 1).start()
 
-        @pl.when(f >= 2)
+        slot_busy = jnp.where(f % 2 == 0, out_even, out_odd)
+
+        @pl.when(slot_busy)
         def _():
-            get_out_dma(f % 2, f - 2).wait()
+            get_out_dma(f % 2, jnp.maximum(f - 2, 0)).wait()
 
         # window 0 of a misaligned tile merges onto the previous tile's tail
         @pl.when(jnp.logical_and(f == 0, shared_head))
@@ -452,30 +481,28 @@ def _backward_kernel(
 
         if nsub == 1:
             # single sub-chunk per window (fetch == chunk, the production
-            # default): write the out window ONCE — zeros/rmw tail when
-            # idle, ours+prev directly when active (round-2 structure; the
-            # unconditional prefill + read-modify-accumulate costs an
-            # extra (16, fetch) write+read per window)
+            # default): write the out window ONCE, ours+prev directly
+            # (round-2 structure; a prefill + read-modify-accumulate costs
+            # an extra (16, fetch) write+read per window)
             prev0 = lambda: jnp.where(
                 jnp.logical_and(f == 0, shared_head), rmw_ref[:],
                 jnp.zeros((16, fetch), jnp.float32))
 
-            @pl.when(jnp.logical_not(active))
-            def _():
-                drow_ref[f % 2] = prev0()
-
             _backward_sub(
                 active, 0, base + f * fetch, f, start, end, xy, mono, g,
                 cfin, g_cfin, tab_ref, drow_ref, carry_ref, imggrad_ref,
-                chunk=chunk, extra_info=extra_info, direct_prev=prev0)
+                chunk=chunk, extra_info=extra_info, imggrad=imggrad,
+                direct_prev=prev0)
         else:
             # prefill the out window (previous tile's tail at a shared
             # window 0, zeros otherwise); active sub-chunks accumulate
             # onto it
-            drow_ref[f % 2] = jnp.where(
-                jnp.logical_and(f == 0, shared_head), rmw_ref[:],
-                jnp.zeros((16, fetch), jnp.float32),
-            )
+            @pl.when(active)
+            def _():
+                drow_ref[f % 2] = jnp.where(
+                    jnp.logical_and(f == 0, shared_head), rmw_ref[:],
+                    jnp.zeros((16, fetch), jnp.float32),
+                )
 
             for s in range(nsub):
                 lo = base + f * fetch + s * chunk
@@ -487,30 +514,40 @@ def _backward_kernel(
                         jnp.max(carry_ref[:, 0:1]) >= T_SATURATION_EPS),
                     s, lo, f, start, end, xy, mono, g, cfin, g_cfin,
                     tab_ref, drow_ref, carry_ref, imggrad_ref,
-                    chunk=chunk, extra_info=extra_info)
+                    chunk=chunk, extra_info=extra_info, imggrad=imggrad)
 
-        get_out_dma(f % 2, f).start()
+        @pl.when(active)
+        def _():
+            get_out_dma(f % 2, f).start()
 
         saturated = jnp.max(carry_ref[:, 0:1]) < T_SATURATION_EPS
         next_inflight = jnp.logical_and(active, f + 1 < nf)
         next_active = jnp.logical_and(active, jnp.logical_not(saturated))
-        return next_inflight, next_active
+        out_even2 = jnp.where(f % 2 == 0, active, out_even)
+        out_odd2 = jnp.where(f % 2 == 1, active, out_odd)
+        return next_inflight, next_active, out_even2, out_odd2
 
-    jax.lax.fori_loop(0, nf, body, (nf > 0, True))
+    _, _, out_even, out_odd = jax.lax.fori_loop(
+        0, nf, body, (nf > 0, True, False, False))
 
-    # drain the last two out-DMAs
-    @pl.when(nf >= 2)
+    # drain the still-inflight out-DMAs (the most recent window on each
+    # drow-slot parity; indices clamp to 0 — predicated off when invalid)
+    last_even = jnp.maximum(jnp.where((nf - 1) % 2 == 0, nf - 1, nf - 2), 0)
+    last_odd = jnp.maximum(jnp.where((nf - 1) % 2 == 1, nf - 1, nf - 2), 0)
+
+    @pl.when(out_even)
     def _():
-        get_out_dma((nf - 2) % 2, nf - 2).wait()
+        get_out_dma(0, last_even).wait()
 
-    @pl.when(nf >= 1)
+    @pl.when(out_odd)
     def _():
-        get_out_dma((nf - 1) % 2, nf - 1).wait()
+        get_out_dma(1, last_odd).wait()
 
 
 def _backward_sub(run, s, lo, f, start, end, xy, mono, g, cfin, g_cfin,
                   tab_ref, drow_ref, carry_ref, imggrad_ref,
-                  *, chunk: int, extra_info: bool, direct_prev=None):
+                  *, chunk: int, extra_info: bool, imggrad: bool = True,
+                  direct_prev=None):
     """One compute sub-chunk of the backward sweep (see _backward_kernel).
 
     ``direct_prev``: when set (single-sub-chunk windows), a thunk whose
@@ -525,10 +562,11 @@ def _backward_sub(run, s, lo, f, start, end, xy, mono, g, cfin, g_cfin,
         alpha_u, a, om, p_incl, t_excl, include, w, dx, dy = _chunk_state(
             tab, xy, start - lo, end - lo, t_run
         )
-        # g.c per (pixel, key): 4 broadcast FMAs on the VPU (K=4 is a
-        # degenerate MXU contraction)
+        # g.c per (pixel, key): 3 broadcast FMAs on the VPU (K=3 is a
+        # degenerate MXU contraction; depth never backpropagates, so no
+        # 4th channel rides — reference semantics, :1025-1163)
         gc = (g[:, 0:1] * tab[6:7, :] + g[:, 1:2] * tab[7:8, :]
-              + g[:, 2:3] * tab[8:9, :] + g[:, 3:4] * tab[9:10, :])
+              + g[:, 2:3] * tab[8:9, :])
         gcw = gc * w
         ga = ga_prev + _cumsum_mxu(gcw)  # inclusive prefix on MXU
         s_after = g_cfin - ga
@@ -536,7 +574,10 @@ def _backward_sub(run, s, lo, f, start, end, xy, mono, g, cfin, g_cfin,
         de = dalpha * alpha_u  # dL/d_exponent, (PX, chunk)
 
         # Moments: (8, chunk) = mono^T @ de — every pixel-reduction the
-        # per-key gradients need, in one MXU op (K=PX, f32 HIGHEST).
+        # per-key gradients need, in one MXU op (K=PX, f32 HIGHEST: the
+        # central-moment algebra below cancels Sxx against u^2 S1, which
+        # amplifies any per-term rounding ~1000x — 3-pass Dekker measured
+        # 5e-3 absolute errors on the CPU oracle gate, 10x its atol).
         De = jax.lax.dot_general(
             mono, de, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=HIGHEST,
@@ -561,10 +602,9 @@ def _backward_sub(run, s, lo, f, start, end, xy, mono, g, cfin, g_cfin,
         d_cc = -0.5 * Sdy2
         d_logop = S1
 
-        # d_color rows: (4, chunk) = g^T @ w (K=PX, f32 HIGHEST)
-        dcol = jax.lax.dot_general(
+        # d_color rows: (3, chunk) = g^T @ w (K=PX, 3-pass Dekker f32)
+        dcol = _dot_dekker3(
             g, w, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=HIGHEST,
         )
 
         if extra_info:
@@ -575,10 +615,13 @@ def _backward_sub(run, s, lo, f, start, end, xy, mono, g, cfin, g_cfin,
             mag_per_key = jnp.sum(mag, axis=0, keepdims=True)  # (1, chunk)
             npix = jnp.sum(include.astype(jnp.float32), axis=0,
                            keepdims=True)
-            imggrad_ref[0] = imggrad_ref[0] + jnp.concatenate(
-                [jnp.sum(jnp.abs(gx), axis=1, keepdims=True),
-                 jnp.sum(jnp.abs(gy), axis=1, keepdims=True)], axis=1,
-            )
+            if imggrad:
+                # per-pixel |grad_uv| image — a TB diagnostic only
+                # (reference :692-696); skipped in the training hot path
+                imggrad_ref[0] = imggrad_ref[0] + jnp.concatenate(
+                    [jnp.sum(jnp.abs(gx), axis=1, keepdims=True),
+                     jnp.sum(jnp.abs(gy), axis=1, keepdims=True)], axis=1,
+                )
         else:
             mag_per_key = jnp.zeros((1, chunk), jnp.float32)
             npix = jnp.zeros((1, chunk), jnp.float32)
@@ -586,8 +629,8 @@ def _backward_sub(run, s, lo, f, start, end, xy, mono, g, cfin, g_cfin,
         zrow = jnp.zeros((1, chunk), jnp.float32)
         drows = jnp.concatenate(
             [d_u, d_v, d_ca, d_cb, d_cc, d_logop,
-             dcol,  # rows 6..9 (row 9 = sum w * g[:,3] = 0)
-             mag_per_key, npix, zrow, zrow, zrow, zrow],
+             dcol,  # rows 6..8; row 9 (depth) structurally zero
+             zrow, mag_per_key, npix, zrow, zrow, zrow, zrow],
             axis=0,
         )  # (16, chunk)
         lane16 = jax.lax.broadcasted_iota(jnp.int32, (16, chunk), 1)
@@ -613,9 +656,10 @@ def blend_backward(
     table: jnp.ndarray,        # (16, cap_pad)
     tile_start: jnp.ndarray,
     tile_end: jnp.ndarray,
-    d_rgb_tiles: jnp.ndarray,  # (num_tiles, px, 4) image cotangent (4th ch 0)
-    cfin_tiles: jnp.ndarray,   # (num_tiles, px, 4) forward rgb output
+    d_rgb_tiles: jnp.ndarray,  # (num_tiles, px, 3) image cotangent
+    cfin_tiles: jnp.ndarray,   # (num_tiles, px, 3) forward rgb output
     *, tile, tiles_x: int, tiles_y: int, extra_info: bool = True,
+    imggrad: bool = True,
     chunk: int = CHUNK, fetch: int = None, interpret: bool = False,
 ):
     """Returns (d_table (16, cap_pad), |grad_uv| image (num_tiles, px, 2)).
@@ -637,16 +681,17 @@ def blend_backward(
     assert fetch % chunk == 0, "fetch must be a chunk multiple"
     assert table.shape[1] % fetch == 0, "cap_pad must be a fetch multiple"
     kernel = functools.partial(_backward_kernel, tile_w=tile_w, tile_h=tile_h,
-                               extra_info=extra_info, chunk=chunk,
-                               fetch=fetch)
+                               extra_info=extra_info,
+                               imggrad=extra_info and imggrad,
+                               chunk=chunk, fetch=fetch)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, px_count, 4), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, px_count, 3), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, px_count, 4), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, px_count, 3), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],

@@ -72,6 +72,14 @@ class RasterizerConfig:
                                  # more keys — see ops/tiling.py header.
     key_cap: int = 2 ** 21       # static capacity of the tile-key buffer
     extra_info: bool = True      # densification stats in backward
+    slim: bool = False           # training fast path: blend only the rgb
+                                 # channels (no depth/alpha/count images —
+                                 # they feed TB image grids only, which
+                                 # re-render on demand) and drop the depth
+                                 # column from the key sort, while KEEPING
+                                 # the orig_slot payload the backward
+                                 # regroup needs. ~4 ms/step at 428k.
+                                 # Mutually exclusive with rgb_only.
     exact_tile_cull: bool = True # retire (point, tile) pairs whose max
                                  # in-tile alpha < 1/255 to the sentinel
                                  # inside the expand kernel (bit-identical
@@ -98,6 +106,10 @@ class RasterizerConfig:
                                  # rendering widens it
 
     def __post_init__(self):
+        if self.slim and self.rgb_only:
+            raise ValueError(
+                "slim is the training fast path (keeps backward payloads); "
+                "rgb_only is the inference fast path — pick one")
         if self.tile_h is not None and self.tile_size % self.tile_h != 0:
             # datasets crop images to tile_size multiples (both axes);
             # a tile_h that divides tile_size keeps every such image
@@ -202,7 +214,8 @@ def _blend_core_fwd(raw: RawAttrs, table: jnp.ndarray, keys: tiling.TileKeys,
     tiles_x, tiles_y = grid_hw
     out_tiles = blend_pallas.blend_forward(
         table, keys.tile_start, keys.tile_end,
-        tile=tile, tiles_x=tiles_x, tiles_y=tiles_y, rgb_only=cfg.rgb_only,
+        tile=tile, tiles_x=tiles_x, tiles_y=tiles_y,
+        rgb_only=cfg.rgb_only or cfg.slim,
         chunk=cfg.blend_chunk, fetch=cfg.blend_fetch,
         interpret=cfg.interpret,
     )
@@ -223,17 +236,17 @@ def _blend_bwd_impl(raw, keys, table, out_tiles, d_rgb_tiles, tile, grid_hw,
     """Shared by the custom_vjp and the trainer's explicit backward (which
     also needs the densification statistics)."""
     tiles_x, tiles_y = grid_hw
-    tw, th = tiling.tile_wh(tile)
-    px = tw * th
-    num_tiles = tiles_x * tiles_y
-    pad4 = jnp.zeros((num_tiles, px, 1), jnp.float32)
-    g4 = jnp.concatenate([d_rgb_tiles, pad4], axis=-1)
-    cfin4 = jnp.concatenate([out_tiles[..., 0:3], pad4], axis=-1)
 
     d_table_sorted, imggrad_tiles = blend_pallas.blend_backward(
-        table, keys.tile_start, keys.tile_end, g4, cfin4,
+        table, keys.tile_start, keys.tile_end, d_rgb_tiles,
+        out_tiles[..., 0:3],
         tile=tile, tiles_x=tiles_x, tiles_y=tiles_y,
-        extra_info=cfg.extra_info, chunk=cfg.blend_chunk,
+        extra_info=cfg.extra_info,
+        # the per-pixel |grad_uv| image is a TB diagnostic the slim
+        # training path skips (its kernel accumulate + image transpose
+        # cost ~1 ms/step; nothing in the hot loop consumes it)
+        imggrad=not cfg.slim,
+        chunk=cfg.blend_chunk,
         fetch=cfg.blend_fetch, interpret=cfg.interpret,
     )
 
@@ -262,25 +275,27 @@ def _blend_bwd_impl(raw, keys, table, out_tiles, d_rgb_tiles, tile, grid_hw,
     d_orig = jnp.concatenate(
         [d_orig10[0:9], mag_o[None], npix_o[None]], axis=0
     )  # (11, key_cap)
+    # (11, n) SoA rows: per-field extraction is contiguous row slicing
     per_point = segment_reduce(
         d_orig, keys.offsets, keys.counts, interpret=cfg.interpret
-    )[: raw.uv.shape[0]]
+    )[:, : raw.uv.shape[0]]
 
     # Split d_log(rescale*opacity) into the two exact cotangents.
-    d_logro = per_point[:, 5]
+    d_logro = per_point[5]
     d_raw = RawAttrs(
-        uv=per_point[:, 0:2],
+        uv=jnp.stack([per_point[0], per_point[1]], axis=-1),
         cov2d=jnp.zeros_like(raw.cov2d),
-        conic=jnp.concatenate(
-            [per_point[:, 2:5],
-             (d_logro / jnp.maximum(raw.conic[:, 3], 1e-12))[:, None]],
+        conic=jnp.stack(
+            [per_point[2], per_point[3], per_point[4],
+             d_logro / jnp.maximum(raw.conic[:, 3], 1e-12)],
             axis=-1,
         ),
         opacity=d_logro / jnp.maximum(raw.opacity, 1e-12),
-        color=per_point[:, 6:9],
+        color=jnp.stack([per_point[6], per_point[7], per_point[8]],
+                        axis=-1),
         depth=jnp.zeros_like(raw.depth),
     )
-    stats = (per_point[:, 9], per_point[:, 10], imggrad_tiles)
+    stats = (per_point[9], per_point[10], imggrad_tiles)
     return d_raw, stats
 
 
@@ -356,7 +371,8 @@ def build_keys(raw: RawAttrs, radius, invalid_mask, camera: Camera,
         sg(raw.uv), sg(raw.depth), sg(radius), visible,
         camera.width, camera.height, _cfg_tile(cfg), cfg.key_cap,
         cfg.depth_to_sort_key_scale, attr_cols=sg(attr_cols),
-        rgb_only=cfg.rgb_only, exact_tile_cull=cfg.exact_tile_cull,
+        rgb_only=cfg.rgb_only, slim=cfg.slim,
+        exact_tile_cull=cfg.exact_tile_cull,
         candidate_mode=cfg.candidate_mode, cand_scale=cfg.cand_scale,
         interpret=cfg.interpret,
     )
@@ -367,7 +383,7 @@ def _assemble(out_tiles, camera: Camera, cfg: RasterizerConfig):
     tile = _cfg_tile(cfg)
     tiles_x = camera.width // tile[0]
     tiles_y = camera.height // tile[1]
-    if cfg.rgb_only:
+    if cfg.rgb_only or cfg.slim:
         # only rgb is meaningful (reference K6 rgb_only, :342); slicing
         # before the tile->image transpose keeps the relayout to 3 channels
         rgb = _tiles_to_image(out_tiles[..., 0:3], tiles_x, tiles_y, tile)
@@ -502,14 +518,16 @@ def rasterize_bwd(
     )
     grads = attrs_vjp(
         (d_raw, jnp.zeros((ctx.raw.depth.shape[0], 2), jnp.float32)))
+    imggrad_img = (
+        jnp.zeros((camera.height, camera.width, 2), jnp.float32)
+        if cfg.slim  # kernel skipped the accumulate; avoid the transpose
+        else _tiles_to_image(imggrad_tiles, tiles_x, tiles_y, tile))
     stats = GradStats(
         grad_uv=d_raw.uv,
         magnitude_grad_viewspace=mag,
         num_affected_pixels=npix,
         num_overlap_tiles=ctx.keys.counts,
         in_camera=ctx.visible,
-        magnitude_grad_viewspace_on_image=_tiles_to_image(
-            imggrad_tiles, tiles_x, tiles_y, tile
-        ),
+        magnitude_grad_viewspace_on_image=imggrad_img,
     )
     return grads, stats

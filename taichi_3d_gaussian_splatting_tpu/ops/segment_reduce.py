@@ -10,8 +10,10 @@ for 2M x 12 rows; a prefix-sum + boundary-gather alternative is fast but
 numerically unsafe (cancellation against the global prefix magnitude).
 This kernel streams the rows once per point-block (sequential grid) and
 resolves key->point ownership with a boolean membership matrix contracted
-on the MXU:
-  out_block (PB, R) += member (PB, WINDOW) @ rows_window (R, WINDOW)^T.
+on the MXU, in the SoA-rows orientation (keys on sublanes, points on
+lanes — both the bounds input and the output then avoid 1-D <-> tiled
+relayouts on the caller, ~4 ms/step at 428k):
+  out_block (R, PB) += rows_window (R, WINDOW) @ member_T (WINDOW, PB).
 
 The grid is ~N/PB tiny sequential steps, so DMA latency (not bandwidth or
 compute) is the cost driver: the kernel keeps a 3-slot DMA ring whose issue
@@ -41,53 +43,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def dot_bf16x3(exact_bf16_lhs, rows_f32, dims):
-    """f32-exact matmul in 3 native MXU passes instead of HIGHEST's 6+.
-
-    Requires the lhs to be EXACTLY representable in bf16 (0/1 membership
-    matrices here). The f32 rhs splits into three bf16 terms whose sum
-    reconstructs every f32 exactly (Dekker splitting: 3 x 8 mantissa bits
-    cover the 24-bit significand), each accumulated in f32 on the MXU.
-    """
-    lhs = exact_bf16_lhs.astype(jnp.bfloat16)
-    hi = rows_f32.astype(jnp.bfloat16)
-    r1 = rows_f32 - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    out = None
-    for part in (hi, mid, lo):
-        # precision=DEFAULT: operands are intentionally bf16; an ambient
-        # "highest" default would stamp contract_precision<fp32> onto a
-        # bf16 matmul, which Mosaic rejects ("Bad lhs type")
-        t = jax.lax.dot_general(lhs, part, dims,
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.DEFAULT)
-        out = t if out is None else out + t
-    return out
-
-
-def dot_bf16x3_fused(member, rows_f32):
-    """dot_bf16x3 for (PB, win) @ (R, win)^T with the three Dekker terms
-    CONCATENATED along R into ONE matmul: the MXU schedules 128-lane
-    output tiles, so three passes at R=16 each waste 7/8 of the array —
-    one pass at 3R=48 columns does the same flops-that-matter in a third
-    of the array time. Each per-term product is identical to dot_bf16x3's;
-    only the f32 sum order changes (terms combine before the window
-    accumulator instead of interleaved with it) — a <= 1-ulp-class
-    reassociation, well inside the gradient tests' tolerances.
+def dot_bf16x3_rows(rows_f32, member_t):
+    """Per-point sums as SoA ROWS: (R, win) @ (win, PB) -> (R, PB), with
+    the three Dekker bf16 terms CONCATENATED along R into ONE matmul (the
+    MXU schedules 128-lane output tiles, so three passes at R=16 each
+    waste 7/8 of the array). Each per-term product is exact (0/1
+    membership rhs); only the f32 sum order differs from a HIGHEST
+    matmul — a <= 1-ulp-class reassociation, inside every gradient gate.
     """
     r = rows_f32.shape[0]
-    lhs = member.astype(jnp.bfloat16)
+    rhs = member_t.astype(jnp.bfloat16)
     hi = rows_f32.astype(jnp.bfloat16)
     r1 = rows_f32 - hi.astype(jnp.float32)
     mid = r1.astype(jnp.bfloat16)
     lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
     stacked = jnp.concatenate([hi, mid, lo], axis=0)        # (3R, win)
     out = jax.lax.dot_general(
-        lhs, stacked, (((1,), (1,)), ((), ())),
+        stacked, rhs, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT)                 # (PB, 3R)
-    return (out[:, 0:r] + out[:, r:2 * r]) + out[:, 2 * r:3 * r]
+        precision=jax.lax.Precision.DEFAULT)                 # (3R, PB)
+    return (out[0:r] + out[r:2 * r]) + out[2 * r:3 * r]
 
 WINDOW = 1024        # lanes per DMA/matmul step
 POINT_BLOCK = 512    # points per grid step (swept on-chip at bench shapes:
@@ -101,10 +76,13 @@ def _kernel(
     # scalar prefetch
     block_lo_ref, block_hi_ref,
     # inputs
-    offsets_ref,   # (1, PB, 2) block slice of [seg_lo, seg_hi], in VMEM
+    bounds_ref,    # (2, PB) block slice of [seg_lo; seg_hi] f32, in VMEM
+                   # (points on LANES: the host passes plain (2, N) rows,
+                   # avoiding the 1-D -> (nb, PB, 2) relayout that cost
+                   # ~2.3 ms/step at 428k points — profiled r4)
     rows_hbm,      # (R, cols) per-key rows, HBM
     # outputs
-    out_ref,       # (1, PB, R) per-point sums
+    out_ref,       # (R, PB) per-point sums (SoA rows, matching rows_hbm)
     # scratch
     row_ref, first_ref, sem,
     *, cols: int, win: int,
@@ -143,8 +121,8 @@ def _kernel(
     nwin = nwin_of(b)
     lo_al = lo_aligned(b)
 
-    off_lo = offsets_ref[0, :, 0:1]   # (PB, 1) segment starts
-    off_hi = offsets_ref[0, :, 1:2]   # (PB, 1) segment ends
+    off_lo = bounds_ref[0:1, :]   # (1, PB) segment starts, f32 exact ints
+    off_hi = bounds_ref[1:2, :]   # (1, PB) segment ends
 
     def body(w, acc):
         # keep the ring full: issue the next window (this block's w+1, or
@@ -162,22 +140,29 @@ def _kernel(
             rows_hbm.at[:, pl.ds(win_base(b, w), win)],
             row_ref.at[slot], sem.at[slot],
         ).wait()
-        gid = win_base(b, w) + jax.lax.broadcasted_iota(
-            jnp.int32, (offsets_ref.shape[1], win), 1
-        )  # ABSOLUTE key index per loaded lane, broadcast over points
+        # TRANSPOSED membership: keys on SUBLANES, points on LANES, so
+        # the reduction is rows (3R, win) @ member_T (win, PB) -> (3R, PB)
+        # and the kernel emits SoA rows directly (row slices downstream
+        # are contiguous; the old (PB, R) orientation forced ~2 ms of
+        # column-slice relayouts on the caller)
+        # integer iota (tpu.iota requires int results), then f32 compare
+        gid = (win_base(b, w).astype(jnp.float32)
+               + jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0)
+               .astype(jnp.float32))
         # intersect each segment with this window's unclamped span at the
-        # (PB, 1) bounds instead of AND-ing a second (PB, win) span mask
+        # (1, PB) bounds instead of AND-ing a second (win, PB) span mask
         # (exclusivity under end-of-array clamping: re-read lanes must
         # contribute only in their own window) — halves the mask VPU work,
         # which dominates this kernel
-        lo_w = jnp.maximum(off_lo, lo_al + w * win)
-        hi_w = jnp.minimum(off_hi, lo_al + (w + 1) * win)
-        member = jnp.logical_and(gid >= lo_w, gid < hi_w)
-        return acc + dot_bf16x3_fused(member, row_ref[slot])
+        lo_w = jnp.maximum(off_lo, (lo_al + w * win).astype(jnp.float32))
+        hi_w = jnp.minimum(off_hi,
+                           (lo_al + (w + 1) * win).astype(jnp.float32))
+        member_t = jnp.logical_and(gid >= lo_w, gid < hi_w)  # (win, PB)
+        return acc + dot_bf16x3_rows(row_ref[slot], member_t)
 
-    out_ref[0] = jax.lax.fori_loop(
+    out_ref[:] = jax.lax.fori_loop(
         0, nwin, body,
-        jnp.zeros((offsets_ref.shape[1], rows_hbm.shape[0]), jnp.float32),
+        jnp.zeros((rows_hbm.shape[0], bounds_ref.shape[1]), jnp.float32),
     )
 
     first_ref[0] = (first + nwin) % 3
@@ -189,7 +174,10 @@ def segment_reduce(
     counts: jnp.ndarray,    # (N,)
     *, interpret: bool = False,
 ) -> jnp.ndarray:
-    """Per-point sums (N_padded_to_block, R).
+    """Per-point sums as SoA rows (R, N_padded_to_block) — same
+    orientation as ``rows``, so downstream per-field extraction is
+    contiguous row slicing (the old (N, R) orientation forced ~2 ms of
+    column-slice relayouts at 428k points).
 
     ``rows`` lanes not covered by any segment must be zero (not NaN);
     segment ends must be <= cols. Sublane count R and the lane count are
@@ -211,24 +199,26 @@ def segment_reduce(
     pb = min(POINT_BLOCK, max(((n + 127) // 128) * 128, 128))
     nb = (n + pb - 1) // pb
     n_pad = nb * pb
-    seg_lo = jnp.pad(offsets, (0, n_pad - n))
-    seg_hi = jnp.pad(offsets + counts, (0, n_pad - n))
+    # segment bounds ride as TWO (n_pad,) f32 lane rows (exact for key
+    # totals < 2^24, the pipeline-wide bound): plain 1-D -> (2, n_pad)
+    # stacking, no (nb, PB, 2) tiled relayout
+    seg_lo = jnp.pad(offsets, (0, n_pad - n)).astype(jnp.float32)
+    seg_hi = jnp.pad(offsets + counts, (0, n_pad - n)).astype(jnp.float32)
     block_lo = seg_lo[::pb].astype(jnp.int32)
     block_hi = jnp.maximum(
-        seg_hi.reshape(nb, pb).max(axis=1), block_lo
-    ).astype(jnp.int32)
-    off_pair = jnp.stack([seg_lo, seg_hi], axis=-1).reshape(nb, pb, 2)
+        seg_hi.reshape(nb, pb).max(axis=1).astype(jnp.int32), block_lo)
+    bounds = jnp.stack([seg_lo, seg_hi], axis=0)  # (2, n_pad)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, pb, 2), lambda b, *_: (b, 0, 0),
+            pl.BlockSpec((2, pb), lambda b, *_: (0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
-            (1, pb, r), lambda b, *_: (b, 0, 0),
+            (r, pb), lambda b, *_: (0, b),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -240,10 +230,10 @@ def segment_reduce(
     out = pl.pallas_call(
         functools.partial(_kernel, cols=cols, win=win),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, pb, r), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((r, n_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(block_lo, block_hi, off_pair.astype(jnp.int32), rows)
-    return out.reshape(n_pad, r)[:, :r_in]
+    )(block_lo, block_hi, bounds, rows)
+    return out[:r_in]

@@ -178,6 +178,7 @@ def build_tile_keys_and_table(
     depth_to_sort_key_scale: float = 2.0**10,
     attr_cols: Optional[jnp.ndarray] = None,
     rgb_only: bool = False,
+    slim: bool = False,
     exact_tile_cull: bool = True,
     candidate_mode: str = "partition",
     cand_scale: int = 1,
@@ -224,9 +225,12 @@ def build_tile_keys_and_table(
         attr_cols = jnp.zeros((10, n), jnp.float32)
     att = jnp.where(jnp.isfinite(attr_cols), attr_cols, 0.0)
     # sort costs are ~linear in operand bytes: the per-key point index only
-    # rides where it's consumed (the no-attrs test/tool path), and rgb_only
-    # drops the depth column everywhere
-    n_attr = 9 if (rgb_only and has_attrs) else 10
+    # rides where it's consumed (the no-attrs test/tool path), and
+    # rgb_only/slim drop the depth column everywhere (slim = training fast
+    # path: rgb-only blending, no depth image, but orig_slot still rides
+    # for the backward regroup; the depth table row zero-fills, which the
+    # backward tolerates — its depth cotangent is structurally zero)
+    n_attr = 9 if ((rgb_only or slim) and has_attrs) else 10
 
     if candidate_mode not in ("partition", "direct"):
         raise ValueError(f"unknown candidate_mode: {candidate_mode!r}")

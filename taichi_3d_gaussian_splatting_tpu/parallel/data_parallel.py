@@ -79,7 +79,12 @@ def make_dp_train_step(config: TrainConfig, height: int, width: int,
     across devices, so the row-scattered gradients merge with one psum
     (duplicate indices in a batch average into one combined row gradient
     and one Adam update — see the touch-count division below)."""
+    import dataclasses as _dc
+
     rcfg = config.rasterisation_config
+    if config.train_slim and not rcfg.rgb_only:
+        # see trainer.make_train_step: rgb-only blend channels for train
+        rcfg = _dc.replace(rcfg, slim=True)
     lcfg = config.loss_function_config
     feature_tx, position_tx = make_optimizers(config)
     gf = jnp.asarray(grad_factor_vector(rcfg))

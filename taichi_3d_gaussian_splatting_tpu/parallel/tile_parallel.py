@@ -176,7 +176,11 @@ def make_tp_train_step(config, height: int, width: int, mesh: Mesh,
     tiles_v_total = height // tile_h
     cfg_band = dataclasses.replace(
         rcfg, cull_pad_v_tiles=tiles_v_total + -(-3 * tile_w // tile_h),
-        candidate_mode="partition", cand_scale=1)
+        candidate_mode="partition", cand_scale=1,
+        # rgb-only blend channels for train (see trainer.make_train_step);
+        # the gathered depth/count aux images become zeros, re-rendered on
+        # demand at image-log cadence
+        slim=config.train_slim and not rcfg.rgb_only)
     feature_tx, position_tx = make_optimizers(config)
     gf_np = grad_factor_vector(rcfg)
 

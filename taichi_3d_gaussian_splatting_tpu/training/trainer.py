@@ -108,7 +108,14 @@ def make_train_step(config: TrainConfig, height: int, width: int,
     trips per step dominate wall time through remote-TPU tunnels, and a
     device-resident loop amortizes them. Metrics come back stacked per
     step; aux reflects the LAST step (what the densifier consumes)."""
+    import dataclasses as _dc
+
     rcfg = config.rasterisation_config
+    if config.train_slim and not rcfg.rgb_only:
+        # rgb-only blending + no depth sort payload: the depth/alpha/count
+        # images feed TB image grids only (re-rendered on demand by the
+        # trainer at log cadence); gradients and densify stats identical
+        rcfg = _dc.replace(rcfg, slim=True)
     lcfg = config.loss_function_config
     feature_tx, position_tx = make_optimizers(config)
     gf = jnp.asarray(grad_factor_vector(rcfg))
@@ -1052,6 +1059,17 @@ class GaussianPointCloudTrainer:
                 # host 0 has a writer)
                 log_item = (items[-rows_per_step] if self.mesh is not None
                             else items[-1])
+                if self.config.train_slim:
+                    # the slim train step blends rgb only — render this
+                    # frame's depth/count grids on demand (amortized over
+                    # the image-log cadence)
+                    try:
+                        _, _, depth_od, count_od = self._eval_frame(
+                            state, log_item, sh_band)
+                        aux = dict(aux)
+                        aux["depth"], aux["count"] = depth_od, count_od
+                    except Exception as e:  # images are diagnostics-only
+                        print(f"on-demand depth render failed: {e}")
                 self._log_images(log_item, metrics, aux, iteration,
                                  problematic=problematic)
 

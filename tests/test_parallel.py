@@ -586,13 +586,16 @@ class TestTPTrainStep:
         np.testing.assert_allclose(
             np.asarray(st2.num_affected_pixels),
             np.asarray(st1.num_affected_pixels), atol=0)
+        # atol floor: the blend kernels' 3-pass Dekker color/acc matmuls
+        # (blend_pallas._dot_dekker3) reassociate differently under the
+        # band split — ~6e-10 absolute on near-zero grads (r4)
         np.testing.assert_allclose(
             np.asarray(st2.magnitude_grad_viewspace),
             np.asarray(st1.magnitude_grad_viewspace), rtol=2e-4,
-            atol=1e-10)
+            atol=2e-9)
         np.testing.assert_allclose(
             np.asarray(st2.grad_uv), np.asarray(st1.grad_uv), rtol=2e-4,
-            atol=1e-10)
+            atol=2e-9)
         np.testing.assert_allclose(
             np.asarray(s2.ctrl.grad_position),
             np.asarray(s1.ctrl.grad_position), rtol=2e-4, atol=1e-8)

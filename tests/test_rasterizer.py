@@ -486,6 +486,44 @@ class TestRectangularTiles:
             RasterizerConfig(tile_size=32, tile_h=12)
 
 
+class TestSlim:
+    def test_slim_train_path_matches_full(self):
+        """slim (the training fast path: rgb-only blend channels, no depth
+        sort payload, orig_slot kept) must leave BOTH the rgb image and
+        every gradient/stat bit-identical to the full path — the dropped
+        depth column has a structurally-zero cotangent."""
+        import dataclasses
+
+        xyz, feats, invalid = make_scene(120, seed=11)
+        cam = make_camera()
+        g = jnp.ones((64, 64, 3), jnp.float32) * 0.5
+        cfg_slim = dataclasses.replace(CFG, slim=True)
+
+        out_f, ctx_f, vjp_f = rasterize_fwd_ctx(
+            xyz, feats, invalid, Q_ID, T_ID, cam, CFG)
+        out_s, ctx_s, vjp_s = rasterize_fwd_ctx(
+            xyz, feats, invalid, Q_ID, T_ID, cam, cfg_slim)
+        np.testing.assert_array_equal(np.asarray(out_s.rgb),
+                                      np.asarray(out_f.rgb))
+        assert np.all(np.asarray(out_s.depth) == 0.0)
+        assert np.all(np.asarray(out_s.count) == 0.0)
+
+        (gx_f, gf_f), st_f = rasterize_bwd(ctx_f, vjp_f, g, cam, CFG)
+        (gx_s, gf_s), st_s = rasterize_bwd(ctx_s, vjp_s, g, cam, cfg_slim)
+        np.testing.assert_array_equal(np.asarray(gx_s), np.asarray(gx_f))
+        np.testing.assert_array_equal(np.asarray(gf_s), np.asarray(gf_f))
+        np.testing.assert_array_equal(
+            np.asarray(st_s.magnitude_grad_viewspace),
+            np.asarray(st_f.magnitude_grad_viewspace))
+        np.testing.assert_array_equal(
+            np.asarray(st_s.num_affected_pixels),
+            np.asarray(st_f.num_affected_pixels))
+
+    def test_slim_excludes_rgb_only(self):
+        with pytest.raises(ValueError):
+            RasterizerConfig(slim=True, rgb_only=True)
+
+
 class TestRgbOnly:
     def test_rgb_matches_full_path(self):
         """rgb_only (reference K6 template flag) must not change the rgb."""
