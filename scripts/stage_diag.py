@@ -34,7 +34,7 @@ def timed(fn, *args):
     return (time.perf_counter() - t0) / ITERS * 1e3
 
 
-def diag(n_points, tile=(32, 32), chunk=128, fetch=None, probe_cap=2 ** 22):
+def diag(n_points, tile=(32, 32), chunk=128, probe_cap=2 ** 22):
     tw, th = tile
     xyz, feats = bench.synthetic_truck_scene(n_points)
     invalid = jnp.zeros((n_points,), bool)
@@ -54,13 +54,13 @@ def diag(n_points, tile=(32, 32), chunk=128, fetch=None, probe_cap=2 ** 22):
     total = int(keys0.total)
     scale = int(keys0.cand_scale_req)
     direct = 0 < scale <= MAX_CAND_SCALE and total <= pcfg.key_cap
-    align = fetch or chunk
+    align = chunk
     cap = fit_key_cap(total, headroom=1.0)
     if cap % align != 0:
         cap = ((cap + align - 1) // align) * align
     cfg = RasterizerConfig(
         tile_size=tw, tile_h=th, key_cap=cap, extra_info=False,
-        rgb_only=True, blend_chunk=chunk, blend_fetch=fetch,
+        rgb_only=True, blend_chunk=chunk,
         candidate_mode="direct" if direct else "partition",
         cand_scale=scale if direct else 1)
 
@@ -97,7 +97,6 @@ def diag(n_points, tile=(32, 32), chunk=128, fetch=None, probe_cap=2 ** 22):
     live = int(jnp.sum(keys0.tile_end - keys0.tile_start)) if tile == (
         32, 32) else None
     print(f"n={n_points:>8} tile={tw}x{th:<2} chunk={chunk:<4} "
-          f"fetch={align:<5} "
           f"keys={total:>8} cap={cap:>8} "
           f"mode={'direct' if direct else 'partition'}(scale={scale}) | "
           f"attrs={ms_a:6.2f}  +keys={ms_k:6.2f}  full={ms_f:6.2f} ms  "
@@ -111,9 +110,9 @@ if __name__ == "__main__":
     ap.add_argument("--full", action="store_true",
                     help="also sweep short-tile shapes")
     args = ap.parse_args()
-    diag(1_030_000, (32, 32), fetch=512)
-    diag(2_080_000, (32, 32), fetch=512, probe_cap=2 ** 23)
+    diag(1_030_000, (32, 32))
+    diag(2_080_000, (32, 32), probe_cap=2 ** 23)
     if args.full:
-        diag(428_687, (32, 32), fetch=512)
-        diag(428_687, (32, 16), fetch=512)
-        diag(1_030_000, (32, 8), fetch=512)
+        diag(428_687, (32, 32))
+        diag(428_687, (32, 16))
+        diag(1_030_000, (32, 8))

@@ -148,7 +148,7 @@ def main():
     rec("blend_bwd", bench_injit(
         functools.partial(blend_pallas.blend_backward, tile=(32, 32),
                           tiles_x=tiles_x, tiles_y=tiles_y, extra_info=True,
-                          chunk=cfg.blend_chunk, fetch=cfg.blend_fetch),
+                          chunk=cfg.blend_chunk),
         ctx.table, ctx.keys.tile_start, ctx.keys.tile_end, g3, cfin))
 
     # 4+5. full bwd impl (blend bwd + regroup + segreduce + raw algebra)

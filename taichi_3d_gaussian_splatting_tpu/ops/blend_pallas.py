@@ -219,23 +219,21 @@ def _forward_kernel(
     out_ref,
     # scratch
     tab_ref, acc_ref, t_ref, sem,
-    *, tile_w: int, tile_h: int, rgb_only: bool, chunk: int, fetch: int,
+    *, tile_w: int, tile_h: int, rgb_only: bool, chunk: int,
 ):
     px_count = tile_w * tile_h
-    nsub = fetch // chunk
     t = pl.program_id(0)
-    # ranges are unaligned; DMA windows start at the enclosing fetch
+    # ranges are unaligned; DMA windows start at the enclosing chunk
     # boundary (the hint lets Mosaic prove lane alignment) and lane masks
-    # cut out the tile's actual [start, end) span. ``fetch`` decouples the
-    # DMA window width from the ``chunk`` compute width: one (16, fetch)
-    # transfer amortizes DMA issue/semaphore latency over fetch/chunk
-    # compute sub-chunks while the MXU cumsum stays at the cheap chunk
-    # width (the transmittance carry already propagates across sub-chunks).
+    # cut out the tile's actual [start, end) span. (A round-3 variant
+    # decoupled a wider DMA window from the compute chunk; the round-4
+    # sweep measured it strictly slower at 428k/1.03M/2.08M x 4 widths —
+    # RESULTS.md — so the window width IS the chunk width.)
     start = start_ref[t]
     end = end_ref[t]
-    base = pl.multiple_of((start // fetch) * fetch, fetch)
+    base = pl.multiple_of((start // chunk) * chunk, chunk)
     n = end - start
-    nf = jnp.where(n > 0, pl.cdiv(end - base, fetch), 0)
+    nf = jnp.where(n > 0, pl.cdiv(end - base, chunk), 0)
 
     xy = _pixel_coords(tile_w, tile_h)
 
@@ -246,7 +244,7 @@ def _forward_kernel(
 
     def get_dma(slot, f):
         return pltpu.make_async_copy(
-            table_hbm.at[:, pl.ds(base + f * fetch, fetch)],
+            table_hbm.at[:, pl.ds(base + f * chunk, chunk)],
             tab_ref.at[slot], sem.at[slot],
         )
 
@@ -257,7 +255,10 @@ def _forward_kernel(
     def body(f, carry):
         # double-buffered: the next window streams while this one computes.
         # `inflight` = a DMA for window f was started (it must be waited
-        # even if blending saturated meanwhile); `active` = still blending.
+        # even if blending saturated meanwhile); `active` = still blending
+        # (the end-of-window saturation check folds into this carry — a
+        # separate per-window (PX, 1) max-reduce gate measured ~8% of the
+        # whole forward at bench shapes, the round-3 regression).
         inflight, active = carry
 
         @pl.when(inflight)
@@ -268,52 +269,34 @@ def _forward_kernel(
         def _():
             get_dma((f + 1) % 2, f + 1).start()
 
-        for s in range(nsub):
-            # first table lane of this compute sub-chunk; skip sub-chunks
-            # entirely outside [start, end) or past per-tile saturation —
-            # both exact (out-of-range lanes are identity, saturated pixels
-            # contribute w = 0). With ONE sub-chunk per window (fetch ==
-            # chunk, the production default) both checks are redundant —
-            # `live` is always true for windows the chain visits and the
-            # `active` carry already folds in last window's saturation —
-            # and the per-window (PX, 1) max reduce they cost measured ~8%
-            # of the whole forward at bench shapes (round-3 regression).
-            lo = base + f * fetch + s * chunk
-            if nsub == 1:
-                cond = active
-            else:
-                live = jnp.logical_and(lo < end, lo + chunk > start)
-                not_sat = jnp.max(t_ref[:, 0:1]) >= T_SATURATION_EPS
-                cond = jnp.logical_and(jnp.logical_and(active, live),
-                                       not_sat)
-
-            @pl.when(cond)
-            def _(s=s, lo=lo):
-                tab = tab_ref[f % 2, :, s * chunk : (s + 1) * chunk]
-                t_run = t_ref[:, 0:1]
-                alpha_u, a, om, p_incl, t_excl, include, w, _, _ = (
-                    _chunk_state(tab, xy, start - lo, end - lo, t_run,
-                                 rgb_only=rgb_only))
-                acc = _dot_dekker3(
-                    w, tab[6:10, :], (((1,), (1,)), ((), ())),
-                )  # (PX, 4): [sum w*r, w*g, w*b, w*depth]
-                acc_ref[:, 0:4] = acc_ref[:, 0:4] + acc
-                t_ref[:, 0:1] = p_incl[:, chunk - 1 : chunk]
-                if not rgb_only:
-                    # depth normalizer, per-pixel blend count and the
-                    # reported transmittance: only the full path consumes
-                    # them (reference K6's rgb_only template flag skips
-                    # them too)
-                    w_sum = jnp.sum(w, axis=1, keepdims=True)
-                    cnt = jnp.sum(include.astype(jnp.float32), axis=1,
-                                  keepdims=True)
-                    acc_ref[:, 4:5] = acc_ref[:, 4:5] + w_sum
-                    acc_ref[:, 5:6] = acc_ref[:, 5:6] + cnt
-                    t_fin = jnp.min(
-                        jnp.where(include, p_incl, jnp.float32(2.0)), axis=1,
-                        keepdims=True,
-                    )
-                    t_ref[:, 1:2] = jnp.minimum(t_ref[:, 1:2], t_fin)
+        @pl.when(active)
+        def _():
+            lo = base + f * chunk
+            tab = tab_ref[f % 2]
+            t_run = t_ref[:, 0:1]
+            alpha_u, a, om, p_incl, t_excl, include, w, _, _ = (
+                _chunk_state(tab, xy, start - lo, end - lo, t_run,
+                             rgb_only=rgb_only))
+            acc = _dot_dekker3(
+                w, tab[6:10, :], (((1,), (1,)), ((), ())),
+            )  # (PX, 4): [sum w*r, w*g, w*b, w*depth]
+            acc_ref[:, 0:4] = acc_ref[:, 0:4] + acc
+            t_ref[:, 0:1] = p_incl[:, chunk - 1 : chunk]
+            if not rgb_only:
+                # depth normalizer, per-pixel blend count and the
+                # reported transmittance: only the full path consumes
+                # them (reference K6's rgb_only template flag skips
+                # them too)
+                w_sum = jnp.sum(w, axis=1, keepdims=True)
+                cnt = jnp.sum(include.astype(jnp.float32), axis=1,
+                              keepdims=True)
+                acc_ref[:, 4:5] = acc_ref[:, 4:5] + w_sum
+                acc_ref[:, 5:6] = acc_ref[:, 5:6] + cnt
+                t_fin = jnp.min(
+                    jnp.where(include, p_incl, jnp.float32(2.0)), axis=1,
+                    keepdims=True,
+                )
+                t_ref[:, 1:2] = jnp.minimum(t_ref[:, 1:2], t_fin)
 
         saturated = jnp.max(t_ref[:, 0:1]) < T_SATURATION_EPS
         next_inflight = jnp.logical_and(active, f + 1 < nf)
@@ -334,26 +317,21 @@ def blend_forward(
     tile_start: jnp.ndarray,   # (num_tiles,) int32, CHUNK-aligned
     tile_end: jnp.ndarray,     # (num_tiles,) int32
     *, tile, tiles_x: int, tiles_y: int, rgb_only: bool = False,
-    chunk: int = CHUNK, fetch: int = None, interpret: bool = False,
+    chunk: int = CHUNK, interpret: bool = False,
 ):
     """Returns (num_tiles, tile_w*tile_h, 8) packed per-pixel outputs:
     [r, g, b, depth_weighted_sum, weight_sum, include_count, T_final, 0]
     (rgb_only: only the first three channels are meaningful).
-    ``tile``: int (square) or (tile_w, tile_h). ``fetch``: DMA window
-    width in key lanes (chunk multiple; default = chunk), amortizing DMA
-    issue latency over fetch/chunk compute sub-chunks.
+    ``tile``: int (square) or (tile_w, tile_h).
     """
     from taichi_3d_gaussian_splatting_tpu.ops.tiling import tile_wh
     tile_w, tile_h = tile_wh(tile)
-    if fetch is None:
-        fetch = chunk
     num_tiles = tiles_x * tiles_y
     px_count = tile_w * tile_h
     assert chunk % 128 == 0, "DMA windows must stay lane-aligned"
-    assert fetch % chunk == 0, "fetch must be a chunk multiple"
-    assert table.shape[1] % fetch == 0, "cap_pad must be a fetch multiple"
+    assert table.shape[1] % chunk == 0, "cap_pad must be a chunk multiple"
     kernel = functools.partial(_forward_kernel, tile_w=tile_w, tile_h=tile_h,
-                               rgb_only=rgb_only, chunk=chunk, fetch=fetch)
+                               rgb_only=rgb_only, chunk=chunk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -362,7 +340,7 @@ def blend_forward(
             (1, px_count, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 16, fetch), jnp.float32),  # double buffer
+            pltpu.VMEM((2, 16, chunk), jnp.float32),  # double buffer
             pltpu.VMEM((px_count, 8), jnp.float32),
             pltpu.VMEM((px_count, 8), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -394,21 +372,20 @@ def _backward_kernel(
     # scratch
     tab_ref, drow_ref, carry_ref, rmw_ref, in_sem, out_sem, rmw_sem,
     *, tile_w: int, tile_h: int, extra_info: bool, imggrad: bool,
-    chunk: int, fetch: int,
+    chunk: int,
 ):
     px_count = tile_w * tile_h
-    nsub = fetch // chunk
     t = pl.program_id(0)
-    # unaligned ranges; see _forward_kernel (incl. the fetch-vs-chunk
-    # decoupling). The FIRST window may be shared with the previous tile's
-    # tail (windows are fetch-aligned, tiles are contiguous in key space),
-    # so window 0 of a misaligned tile READ-MODIFY-WRITES the existing
-    # output window — the grid is sequential, making this race-free.
+    # unaligned ranges; see _forward_kernel. The FIRST window may be
+    # shared with the previous tile's tail (windows are chunk-aligned,
+    # tiles are contiguous in key space), so window 0 of a misaligned tile
+    # READ-MODIFY-WRITES the existing output window — the grid is
+    # sequential, making this race-free.
     start = start_ref[t]
     end = end_ref[t]
-    base = pl.multiple_of((start // fetch) * fetch, fetch)
+    base = pl.multiple_of((start // chunk) * chunk, chunk)
     n = end - start
-    nf = jnp.where(n > 0, pl.cdiv(end - base, fetch), 0)
+    nf = jnp.where(n > 0, pl.cdiv(end - base, chunk), 0)
     shared_head = start > base
 
     xy = _pixel_coords(tile_w, tile_h)
@@ -426,14 +403,14 @@ def _backward_kernel(
 
     def get_in_dma(slot, f):
         return pltpu.make_async_copy(
-            table_hbm.at[:, pl.ds(base + f * fetch, fetch)],
+            table_hbm.at[:, pl.ds(base + f * chunk, chunk)],
             tab_ref.at[slot], in_sem.at[slot],
         )
 
     def get_out_dma(slot, f):
         return pltpu.make_async_copy(
             drow_ref.at[slot],
-            dtab_hbm.at[:, pl.ds(base + f * fetch, fetch)],
+            dtab_hbm.at[:, pl.ds(base + f * chunk, chunk)],
             out_sem.at[slot],
         )
 
@@ -445,7 +422,7 @@ def _backward_kernel(
     @pl.when(jnp.logical_and(nf > 0, shared_head))
     def _():
         pltpu.make_async_copy(
-            dtab_hbm.at[:, pl.ds(base, fetch)], rmw_ref, rmw_sem
+            dtab_hbm.at[:, pl.ds(base, chunk)], rmw_ref, rmw_sem
         ).start()
 
     def body(f, state):
@@ -476,45 +453,20 @@ def _backward_kernel(
         @pl.when(jnp.logical_and(f == 0, shared_head))
         def _():
             pltpu.make_async_copy(
-                dtab_hbm.at[:, pl.ds(base, fetch)], rmw_ref, rmw_sem
+                dtab_hbm.at[:, pl.ds(base, chunk)], rmw_ref, rmw_sem
             ).wait()
 
-        if nsub == 1:
-            # single sub-chunk per window (fetch == chunk, the production
-            # default): write the out window ONCE, ours+prev directly
-            # (round-2 structure; a prefill + read-modify-accumulate costs
-            # an extra (16, fetch) write+read per window)
-            prev0 = lambda: jnp.where(
-                jnp.logical_and(f == 0, shared_head), rmw_ref[:],
-                jnp.zeros((16, fetch), jnp.float32))
+        # active windows write their out window ONCE: ours + (the
+        # previous tile's tail at a shared window 0 | zeros)
+        prev0 = lambda: jnp.where(
+            jnp.logical_and(f == 0, shared_head), rmw_ref[:],
+            jnp.zeros((16, chunk), jnp.float32))
 
-            _backward_sub(
-                active, 0, base + f * fetch, f, start, end, xy, mono, g,
-                cfin, g_cfin, tab_ref, drow_ref, carry_ref, imggrad_ref,
-                chunk=chunk, extra_info=extra_info, imggrad=imggrad,
-                direct_prev=prev0)
-        else:
-            # prefill the out window (previous tile's tail at a shared
-            # window 0, zeros otherwise); active sub-chunks accumulate
-            # onto it
-            @pl.when(active)
-            def _():
-                drow_ref[f % 2] = jnp.where(
-                    jnp.logical_and(f == 0, shared_head), rmw_ref[:],
-                    jnp.zeros((16, fetch), jnp.float32),
-                )
-
-            for s in range(nsub):
-                lo = base + f * fetch + s * chunk
-                live = jnp.logical_and(lo < end, lo + chunk > start)
-
-                _backward_sub(
-                    jnp.logical_and(
-                        jnp.logical_and(active, live),
-                        jnp.max(carry_ref[:, 0:1]) >= T_SATURATION_EPS),
-                    s, lo, f, start, end, xy, mono, g, cfin, g_cfin,
-                    tab_ref, drow_ref, carry_ref, imggrad_ref,
-                    chunk=chunk, extra_info=extra_info, imggrad=imggrad)
+        _backward_sub(
+            active, base + f * chunk, f, xy, mono, g,
+            cfin, g_cfin, tab_ref, drow_ref, carry_ref, imggrad_ref,
+            start, end, chunk=chunk, extra_info=extra_info,
+            imggrad=imggrad, prev=prev0)
 
         @pl.when(active)
         def _():
@@ -544,19 +496,18 @@ def _backward_kernel(
         get_out_dma(1, last_odd).wait()
 
 
-def _backward_sub(run, s, lo, f, start, end, xy, mono, g, cfin, g_cfin,
-                  tab_ref, drow_ref, carry_ref, imggrad_ref,
+def _backward_sub(run, lo, f, xy, mono, g, cfin, g_cfin,
+                  tab_ref, drow_ref, carry_ref, imggrad_ref, start, end,
                   *, chunk: int, extra_info: bool, imggrad: bool = True,
-                  direct_prev=None):
-    """One compute sub-chunk of the backward sweep (see _backward_kernel).
+                  prev=None):
+    """One compute window of the backward sweep (see _backward_kernel).
 
-    ``direct_prev``: when set (single-sub-chunk windows), a thunk whose
-    value this sub adds to its own rows and WRITES to the whole out window
-    — instead of accumulating onto a caller-prefilled window."""
+    ``prev``: thunk whose value this window adds to its own rows when
+    writing the out window (the previous tile's tail, or zeros)."""
 
     @pl.when(run)
     def _():
-        tab = tab_ref[f % 2, :, s * chunk : (s + 1) * chunk]
+        tab = tab_ref[f % 2]
         t_run = carry_ref[:, 0:1]
         ga_prev = carry_ref[:, 1:2]
         alpha_u, a, om, p_incl, t_excl, include, w, dx, dy = _chunk_state(
@@ -639,14 +590,7 @@ def _backward_sub(run, s, lo, f, start, end, xy, mono, g, cfin, g_cfin,
             lane16 < end - lo,
         )
         ours = jnp.where(mask16, drows, 0.0)
-        if direct_prev is not None:
-            # single-sub window: one write of ours + (rmw tail | zeros)
-            drow_ref[f % 2] = ours + direct_prev()
-        else:
-            # accumulate onto the prefilled window (zeros, or the previous
-            # tile's tail at a shared window 0)
-            sl = slice(s * chunk, (s + 1) * chunk)
-            drow_ref[f % 2, :, sl] = drow_ref[f % 2, :, sl] + ours
+        drow_ref[f % 2] = ours + prev()
 
         carry_ref[:, 0:1] = p_incl[:, chunk - 1 : chunk]
         carry_ref[:, 1:2] = ga[:, chunk - 1 : chunk]
@@ -660,7 +604,7 @@ def blend_backward(
     cfin_tiles: jnp.ndarray,   # (num_tiles, px, 3) forward rgb output
     *, tile, tiles_x: int, tiles_y: int, extra_info: bool = True,
     imggrad: bool = True,
-    chunk: int = CHUNK, fetch: int = None, interpret: bool = False,
+    chunk: int = CHUNK, interpret: bool = False,
 ):
     """Returns (d_table (16, cap_pad), |grad_uv| image (num_tiles, px, 2)).
 
@@ -671,19 +615,16 @@ def blend_backward(
     """
     from taichi_3d_gaussian_splatting_tpu.ops.tiling import tile_wh
     tile_w, tile_h = tile_wh(tile)
-    if fetch is None:
-        fetch = chunk
     num_tiles = tiles_x * tiles_y
     px_count = tile_w * tile_h
     cap_pad = table.shape[1]
     dtab_init = jnp.zeros((16, cap_pad), jnp.float32)
     assert chunk % 128 == 0, "DMA windows must stay lane-aligned"
-    assert fetch % chunk == 0, "fetch must be a chunk multiple"
-    assert table.shape[1] % fetch == 0, "cap_pad must be a fetch multiple"
+    assert table.shape[1] % chunk == 0, "cap_pad must be a chunk multiple"
     kernel = functools.partial(_backward_kernel, tile_w=tile_w, tile_h=tile_h,
                                extra_info=extra_info,
                                imggrad=extra_info and imggrad,
-                               chunk=chunk, fetch=fetch)
+                               chunk=chunk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -701,10 +642,10 @@ def blend_backward(
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 16, fetch), jnp.float32),  # in double buffer
-            pltpu.VMEM((2, 16, fetch), jnp.float32),  # out double buffer
+            pltpu.VMEM((2, 16, chunk), jnp.float32),  # in double buffer
+            pltpu.VMEM((2, 16, chunk), jnp.float32),  # out double buffer
             pltpu.VMEM((px_count, 8), jnp.float32),
-            pltpu.VMEM((16, fetch), jnp.float32),     # shared-window RMW
+            pltpu.VMEM((16, chunk), jnp.float32),     # shared-window RMW
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),

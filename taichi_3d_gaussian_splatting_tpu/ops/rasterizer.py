@@ -87,11 +87,6 @@ class RasterizerConfig:
     blend_chunk: int = 128       # key lanes per blend-kernel compute
                                  # sub-chunk (multiple of 128; wider chunks
                                  # pay quadratic MXU cumsum width)
-    blend_fetch: Optional[int] = None  # key lanes per blend-kernel DMA
-                                 # window (blend_chunk multiple; None =
-                                 # blend_chunk). Wide windows amortize DMA
-                                 # issue latency over fetch/chunk compute
-                                 # sub-chunks; key_cap must be a multiple
     candidate_mode: str = "partition"  # "partition": N-length sort packs
                                  # key owners into a prefix (robust at any
                                  # visibility density); "direct": skip that
@@ -116,15 +111,6 @@ class RasterizerConfig:
             # divisible into tile rows
             raise ValueError(
                 f"tile_h={self.tile_h} must divide tile_size={self.tile_size}")
-        if self.blend_fetch is not None:
-            if self.blend_fetch % self.blend_chunk != 0:
-                raise ValueError(
-                    f"blend_fetch={self.blend_fetch} must be a multiple of "
-                    f"blend_chunk={self.blend_chunk}")
-            if self.key_cap % self.blend_fetch != 0:
-                raise ValueError(
-                    f"key_cap={self.key_cap} must be a multiple of "
-                    f"blend_fetch={self.blend_fetch}")
 
 
 class Camera(NamedTuple):
@@ -216,7 +202,7 @@ def _blend_core_fwd(raw: RawAttrs, table: jnp.ndarray, keys: tiling.TileKeys,
         table, keys.tile_start, keys.tile_end,
         tile=tile, tiles_x=tiles_x, tiles_y=tiles_y,
         rgb_only=cfg.rgb_only or cfg.slim,
-        chunk=cfg.blend_chunk, fetch=cfg.blend_fetch,
+        chunk=cfg.blend_chunk,
         interpret=cfg.interpret,
     )
     residuals = (raw, keys, table, out_tiles)
@@ -246,8 +232,7 @@ def _blend_bwd_impl(raw, keys, table, out_tiles, d_rgb_tiles, tile, grid_hw,
         # training path skips (its kernel accumulate + image transpose
         # cost ~1 ms/step; nothing in the hot loop consumes it)
         imggrad=not cfg.slim,
-        chunk=cfg.blend_chunk,
-        fetch=cfg.blend_fetch, interpret=cfg.interpret,
+        chunk=cfg.blend_chunk, interpret=cfg.interpret,
     )
 
     # tile-layout order -> original-key order, realized as one
