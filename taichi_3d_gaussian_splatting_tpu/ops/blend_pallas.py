@@ -118,41 +118,56 @@ def _cumsum_mxu(x: jnp.ndarray, terms: int = 3) -> jnp.ndarray:
     parts = [hi, mid]
     if terms >= 3:
         parts.append((r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16))
-    out = None
-    for part in parts:
-        # precision=DEFAULT: operands are intentionally bf16; an ambient
-        # "highest" default would stamp contract_precision<fp32> onto a
-        # bf16 matmul, which Mosaic rejects ("Bad lhs type")
-        t = jax.lax.dot_general(
-            part, tri, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )
-        out = t if out is None else out + t
+    # all terms ride ONE matmul, stacked along the sublane (pixel) dim —
+    # same MACs as per-term passes but a single triangular weight load.
+    # precision=DEFAULT: operands are intentionally bf16; an ambient
+    # "highest" default would stamp contract_precision<fp32> onto a bf16
+    # matmul, which Mosaic rejects ("Bad lhs type")
+    stacked = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    t = jax.lax.dot_general(
+        stacked, tri, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    px = x.shape[0]
+    out = t[:px]
+    for i in range(1, len(parts)):
+        out = out + t[i * px:(i + 1) * px]
     return out
 
 
 def _dot_dekker3(a, b, dims):
-    """f32 x f32 matmul in THREE native bf16 MXU passes.
+    """f32 x f32 matmul as ONE native bf16 MXU pass over STACKED 2-term
+    Dekker splits of both 2-D operands.
 
-    Both operands 2-term Dekker-split (hi = bf16(x), lo = bf16(x - hi));
-    C = a_hi b_hi + a_hi b_lo + a_lo b_hi, dropping the ~2^-32 a_lo b_lo
-    term. Worst-case relative error ~2^-17 per product — two orders under
-    every oracle gate — where HIGHEST lowers to ~6 passes (measured
-    1.8 ms/frame slower across the blend forward at 428k) and DEFAULT's
-    single pass rounds operands to 8 mantissa bits (~4e-3, at the edge of
-    the on-chip gates). precision=DEFAULT on each pass keeps an ambient
-    highest-precision default from re-expanding the bf16 passes.
+    hi = bf16(x), lo = bf16(x - hi); stacking [hi, lo] along each
+    operand's non-contracted dim yields all four cross products
+    (hi.hi, hi.lo, lo.hi, lo.lo) as blocks of one (2M, 2N) matmul, summed
+    in f32 — the product of the truncated operands is EXACT (vs dropping
+    lo.lo), so the only error is the 2-term representation itself,
+    ~2^-17 relative, two orders under every oracle gate. One stacked pass
+    costs fewer effective MXU tiles than 3 separate passes when M or N
+    underfills the 128-wide tile (the acc matmul's N=4, dcol's M=3), and
+    loads the weights once. HIGHEST (~6 passes) measured 1.8 ms/frame
+    slower across the blend forward at 428k; DEFAULT's single unsplit
+    pass rounds to 8 mantissa bits (~4e-3, at the edge of the on-chip
+    gates). precision=DEFAULT keeps an ambient highest-precision default
+    from re-expanding the bf16 pass.
     """
+    ((ac,), (bc,)) = dims[0]
+    an, bn = 1 - ac, 1 - bc  # non-contracted dim of each 2-D operand
     a_hi = a.astype(jnp.bfloat16)
     a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     b_hi = b.astype(jnp.bfloat16)
     b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    kw = dict(preferred_element_type=jnp.float32,
-              precision=jax.lax.Precision.DEFAULT)
-    return (jax.lax.dot_general(a_hi, b_hi, dims, **kw)
-            + (jax.lax.dot_general(a_hi, b_lo, dims, **kw)
-               + jax.lax.dot_general(a_lo, b_hi, dims, **kw)))
+    sa = jnp.concatenate([a_hi, a_lo], axis=an)
+    sb = jnp.concatenate([b_hi, b_lo], axis=bn)
+    out = jax.lax.dot_general(
+        sa, sb, dims, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)  # (2M, 2N)
+    m = a.shape[an]
+    n = b.shape[bn]
+    return (out[:m, :n] + out[:m, n:]) + (out[m:, :n] + out[m:, n:])
 
 
 def _chunk_state(tab, xy, lane_lo, lane_hi, t_run, rgb_only=False):
