@@ -298,27 +298,34 @@ def build_tile_keys_and_table(
     # partition mode only key owners count (zero-count lanes carry
     # PAD_OFF); in direct mode every real lane counts — the kernel's
     # in-window reduction uses the same convention either way.
-    wid = jnp.where(owning_n, jnp.minimum(off_s // wk, nw), nw)
-    cum = _exclusive_bounds(wid, nw, interpret=interpret)
-    lo = jnp.clip(cum[:-1] - 1, 0, n_pad - cand_cap)
-    lo = (lo // al) * al
-
-    # Span diagnostic: the candidate-window scale DIRECT mode would need
-    # for this frame, at both granularities (inner csub sub-windows and
-    # the DMA'd cand_cap windows), from original-order offsets.
+    #
+    # Span diagnostic inputs: the candidate-window scale DIRECT mode would
+    # need for this frame, at both granularities (inner csub sub-windows
+    # and the DMA'd cand_cap windows), from original-order offsets. Window
+    # buckets nest inside sub-window buckets (wk is a sub multiple), so in
+    # DIRECT mode — where window counting also runs over original order
+    # with every real lane owning — ONE sub-granularity histogram serves
+    # both: the window cumsum is its strided view (saves a Pallas
+    # histogram dispatch per frame).
     sub = min(expand_mod.SUBKEYS, wk)
     nsub_tot = key_cap // sub
+    ratio = wk // sub
     wid_sub = jnp.minimum(offsets // sub, nsub_tot)
     cum_sub = _exclusive_bounds(wid_sub, nsub_tot, interpret=interpret)
     span_sub = jnp.max(
         cum_sub[1:] - jnp.maximum(cum_sub[:-1] - 1, 0)) + al
     if candidate_mode == "direct":
-        # wid above already is min(offsets // wk, nw) in direct mode
-        # (original order, every real lane owning) — reuse its cumsum
+        # min(off // wk, nw) == min(off // sub, nsub_tot) // ratio at
+        # bucket boundaries: cum at wk granularity = every ratio-th entry
+        cum = cum_sub[::ratio]
         cum_win = cum
     else:
+        wid = jnp.where(owning_n, jnp.minimum(off_s // wk, nw), nw)
+        cum = _exclusive_bounds(wid, nw, interpret=interpret)
         cum_win = _exclusive_bounds(jnp.minimum(offsets // wk, nw), nw,
                                     interpret=interpret)
+    lo = jnp.clip(cum[:-1] - 1, 0, n_pad - cand_cap)
+    lo = (lo // al) * al
     span_win = jnp.max(
         cum_win[1:] - jnp.maximum(cum_win[:-1] - 1, 0)) + al
     cand_scale_req = jnp.maximum(
