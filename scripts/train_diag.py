@@ -170,11 +170,14 @@ def main():
         return attrs_vjp((dr, jnp.zeros((n, 2), jnp.float32)))
     rec("attrs_vjp", bench_injit(avjp, d_raw))
 
-    # full manual bwd via rasterize_bwd (= blend_bwd+tail + attrs_vjp)
-    def full_bwd(drgb):
-        grads, stats = rasterize_bwd(ctx, attrs_vjp, drgb, cam, cfg)
+    # full manual bwd via rasterize_bwd (= blend_bwd+tail + attrs_vjp).
+    # ctx rides as an ARGUMENT: closure-captured residuals get inlined as
+    # constants into the fori chain and blow the remote-compile request
+    # size limit (HTTP 413) at bench shapes.
+    def full_bwd(drgb, c):
+        grads, stats = rasterize_bwd(c, attrs_vjp, drgb, cam, cfg)
         return grads, stats.magnitude_grad_viewspace
-    rec("rasterize_bwd", bench_injit(full_bwd, d_rgb))
+    rec("rasterize_bwd", bench_injit(full_bwd, d_rgb, ctx))
 
     # 7. full train step (the bench's own measurement, for the same run)
     from taichi_3d_gaussian_splatting_tpu.training.trainer import (

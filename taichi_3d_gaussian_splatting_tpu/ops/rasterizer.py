@@ -504,8 +504,11 @@ def rasterize_bwd(
     grads = attrs_vjp(
         (d_raw, jnp.zeros((ctx.raw.depth.shape[0], 2), jnp.float32)))
     imggrad_img = (
-        jnp.zeros((camera.height, camera.width, 2), jnp.float32)
-        if cfg.slim  # kernel skipped the accumulate; avoid the transpose
+        # kernel skipped the accumulate: a (1, 1, 2) placeholder instead
+        # of materializing an (H, W, 2) zeros image every step (~0.4 ms
+        # through the scan carry); nothing in the hot loop consumes it
+        jnp.zeros((1, 1, 2), jnp.float32)
+        if cfg.slim
         else _tiles_to_image(imggrad_tiles, tiles_x, tiles_y, tile))
     stats = GradStats(
         grad_uv=d_raw.uv,
