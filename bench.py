@@ -317,9 +317,9 @@ def main():
     ap.add_argument("--tile_size", type=int, default=32,
                     help="tile width in pixels")
     ap.add_argument("--tile_h", type=int, default=None,
-                    help="tile height (None = square tile_size). Wide, "
-                    "short tiles (32x8) cut blend pixel-pair work ~4x for "
-                    "~1.3x more keys — the TPU-native shape")
+                    help="tile height (None = square tile_size, the "
+                    "measured-optimal shape; short tiles pay 1.2-2x key "
+                    "inflation — see RESULTS.md sweeps)")
     ap.add_argument("--scene", choices=("surround", "allvis", "both"),
                     default="both",
                     help="surround: realistic per-view visibility (60%% of "

@@ -66,10 +66,9 @@ class RasterizerConfig:
     grad_alpha_factor: float = 20.0
     # TPU static sizing
     tile_size: int = 32          # tile width in pixels (reference: 16, CUDA)
-    tile_h: Optional[int] = None # tile height; None = square (tile_size).
-                                 # Wide, short tiles (32x8) cut the blend
-                                 # kernels' pixel-pair work ~4x for ~1.3x
-                                 # more keys — see ops/tiling.py header.
+    tile_h: Optional[int] = None # tile height; None = square (tile_size,
+                                 # the measured-optimal shape at every
+                                 # bench point count — ops/tiling.py).
     key_cap: int = 2 ** 21       # static capacity of the tile-key buffer
     extra_info: bool = True      # densification stats in backward
     slim: bool = False           # training fast path: blend only the rgb

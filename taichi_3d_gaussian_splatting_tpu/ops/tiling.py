@@ -32,14 +32,16 @@ highest-index points are dropped (the returned `total` lets callers detect
 this and grow the capacity).
 
 Tiles are TILE_W x TILE_H pixels. Every ``tile`` parameter accepts either
-an int (square tiles) or a (tile_w, tile_h) pair: WIDE, SHORT tiles (the
-production default is 32x8, rasterizer.py) are the TPU-native shape — the
-blend kernels' pixel-pair work scales with tile area while the key count
-only grows along the SHORT axis (a splat spanning h vertical pixels covers
-~(h/tile_h + 1) tile rows), and a (tile_w*tile_h, 128) VPU block is
-efficient for any 8-multiple area. Measured on v5e at the 428k bench:
-32x8 renders ~1.9x faster than 32x32 end-to-end (blend pairs /4, keys
-x1.3). The reference's square 16x16 was dictated by its CUDA block size.
+an int (square tiles) or a (tile_w, tile_h) pair. Short tiles trade the
+blend kernels' pixel-pair work (scales with tile area) against key-count
+inflation along the short axis (a splat spanning h vertical pixels
+covers ~(h/tile_h + 1) tile rows). Measured verdict on v5e (rounds 3-4,
+RESULTS.md): SQUARE 32x32 wins at every point count — at bench splat
+shapes the key inflation runs 1.2-2.0x and the sort/expand growth plus
+per-tile overheads outweigh the pair savings (32x8 at 428k: fwd 21.9 vs
+11.8 ms). The rectangular generalization stays because it is cheap,
+oracle-tested, and the trade-off is scene-dependent. The reference's
+square 16x16 was dictated by its CUDA block size.
 """
 from __future__ import annotations
 
