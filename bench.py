@@ -121,6 +121,23 @@ def _truck_feats(rng, n: int) -> np.ndarray:
     return feats
 
 
+def _probe_code_fingerprint() -> str:
+    """Short hash over this file and the key-count-determining modules
+    (scene synthesis + culling + key expansion), so cached probe results
+    invalidate whenever any of them changes."""
+    import hashlib
+    pkg = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "taichi_3d_gaussian_splatting_tpu", "ops")
+    h = hashlib.sha256()
+    for path in (os.path.abspath(__file__),
+                 os.path.join(pkg, "tiling.py"),
+                 os.path.join(pkg, "expand.py"),
+                 os.path.join(pkg, "attributes.py")):
+        with open(path, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:10]
+
+
 def _median_timed(fn, *args, repeats: int = REPEATS):
     """Compile+warm once, then time `repeats` runs; median seconds."""
     jax.block_until_ready(fn(*args))
@@ -234,7 +251,11 @@ def bench_scene(scene: str, n_points: int, tile: int, tile_h, skip_train: bool,
     # determines the totals — skipping the 2^22-cap probe jit is most of
     # what made the 2.08M bench terminate.
     cache_path = os.path.join(_CACHE_DIR, "probe_cache.json")
-    ck = f"{scene}_{n_points}_{tile}x{tile_h or tile}"
+    # salt the key with a fingerprint of the key-generating code: a stale
+    # (total, cand_scale) mis-sizes key_cap and can silently flip the
+    # direct-mode decision if scene synthesis/culling/keying changes
+    ck = (f"{scene}_{n_points}_{tile}x{tile_h or tile}"
+          f"_{_probe_code_fingerprint()}")
     probe = {}
     if os.path.exists(cache_path):
         with open(cache_path) as f:
@@ -321,17 +342,26 @@ def main():
                     "measured-optimal shape; short tiles pay 1.2-2x key "
                     "inflation — see RESULTS.md sweeps)")
     ap.add_argument("--scene", choices=("surround", "allvis", "both"),
-                    default="both",
+                    default=None,
                     help="surround: realistic per-view visibility (60%% of "
                     "points in frustum, like rendering a real checkpoint); "
                     "allvis: every point in frustum (strictly harder than "
                     "any real frame; the round-1/2 protocol). Default "
                     "measures BOTH so the tracked metric can never be "
-                    "silently re-based (round-3 post-mortem, RESULTS.md)")
-    ap.add_argument("--frames", type=int, default=TIMED_FWD,
-                    help="timed forward frames per chain")
-    ap.add_argument("--train_steps", type=int, default=TIMED_TRAIN,
-                    help="timed optimizer steps per scan chain")
+                    "silently re-based (round-3 post-mortem, RESULTS.md) — "
+                    "EXCEPT at --points >= 1.5M, where the default is "
+                    "surround only (the allvis duplicate doubled the "
+                    "2.08M bench past any practical regression-tracking "
+                    "budget; ask for it explicitly with --scene)")
+    ap.add_argument("--frames", type=int, default=None,
+                    help="timed forward frames per chain (default 100; "
+                    "50 at --points >= 1.5M — at ~36 ms/frame the shorter "
+                    "chain still amortizes dispatch overhead to <2%%, and "
+                    "with the probe + compile caches warm the whole 2.08M "
+                    "bench lands in ~5 min, ~10 cold)")
+    ap.add_argument("--train_steps", type=int, default=None,
+                    help="timed optimizer steps per scan chain (default "
+                    "50; 20 at --points >= 1.5M)")
     ap.add_argument("--skip_extra_scale", action="store_true",
                     help="skip the 1.03M-point forward-only entries the "
                     "default run appends (official graphdeco 7k-checkpoint "
@@ -344,6 +374,16 @@ def main():
     tile_h = args.tile_h
     th = tile if tile_h is None else tile_h
     tile_tag = "" if (tile, th) == (32, 32) else f"_t{tile}x{th}"
+
+    # scale-aware defaults (see --help): the 2M bench must be a practical
+    # regression tracker, not a patience test (round-3/4 asks)
+    big = n_points >= 1_500_000
+    if args.scene is None:
+        args.scene = "surround" if big else "both"
+    if args.frames is None:
+        args.frames = 50 if big else TIMED_FWD
+    if args.train_steps is None:
+        args.train_steps = 20 if big else TIMED_TRAIN
 
     scenes = (("surround", "allvis") if args.scene == "both"
               else (args.scene,))

@@ -22,11 +22,20 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: the 30k reference-regime run recompiles at
+# every key-cap rebucket / resolution change; on resume (or a probe run
+# before the real one) the cache removes most of that wall time
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache_bench"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-def make_gt_scene(rng, n_clusters=40, pts_per_cluster=400):
+
+def make_gt_scene(rng, n_clusters=40, pts_per_cluster=400, spread=2.0):
     """Blobby clustered scene with varied color/scale/opacity."""
-    centers = rng.uniform(-2.0, 2.0, (n_clusters, 3))
-    centers[:, 2] = rng.uniform(-1.0, 1.0, n_clusters)
+    centers = rng.uniform(-spread, spread, (n_clusters, 3))
+    centers[:, 2] = rng.uniform(-spread / 2, spread / 2, n_clusters)
     xyz, feats = [], []
     for c in centers:
         k = pts_per_cluster
@@ -48,10 +57,14 @@ def make_gt_scene(rng, n_clusters=40, pts_per_cluster=400):
             np.concatenate(feats).astype(np.float32))
 
 
-def ring_cameras(n, radius=6.0, height=1.5, hw=256, fov_f=300.0):
-    """Cameras on a ring looking at the origin (x right, y down, z fwd)."""
+def ring_cameras(n, radius=6.0, height=1.5, hw=256, fov_f=300.0, w=None):
+    """Cameras on a ring looking at the origin (x right, y down, z fwd).
+
+    ``hw`` is the image height; ``w`` the width (default square)."""
     cams = []
-    K = np.asarray([[fov_f, 0, hw / 2], [0, fov_f, hw / 2], [0, 0, 1.0]],
+    if w is None:
+        w = hw
+    K = np.asarray([[fov_f, 0, w / 2], [0, fov_f, hw / 2], [0, 0, 1.0]],
                    np.float32)
     for i in range(n):
         th = 2 * np.pi * i / n
@@ -87,8 +100,30 @@ def main():
                         "after 2000, capacity-stressed pool — so every "
                         "trainer cadence runs for real (default "
                         "iterations become 10000)")
+    parser.add_argument("--reference_regime", action="store_true",
+                        help="the reference's ACTUAL 30k Truck regime "
+                        "(config/tat_truck_every_8_test.yaml + "
+                        "GaussianPointTrainer.py defaults), not a "
+                        "compressed stand-in: 30001 iterations at 896x512 "
+                        "(>= the ~980x546 val-view pixel class once "
+                        "cropped; every downsample factor stays "
+                        "32-divisible), ~55k init points in a ~500k-"
+                        "capacity pool (capacity >= the 428,687-point "
+                        "published checkpoint), densify every 100 after "
+                        "1000 warm-up, alpha reset every 4000 at the "
+                        "reference's -1.9 logit value, floater removal "
+                        "from 2000, SH band ramp every 1000, downsample "
+                        "4x halving every 250, val every 1000")
     args = parser.parse_args()
-    if args.long:
+    width = None
+    if args.reference_regime:
+        if args.iterations == 2001:
+            args.iterations = 30001
+        if args.views == 48:
+            args.views = 128  # 112 train / 16 val (reference every-8: ~219/32)
+        args.hw = 512
+        width = 896
+    elif args.long:
         if args.iterations == 2001:
             args.iterations = 10000
         args.hw = 512
@@ -105,16 +140,24 @@ def main():
     have_dataset = os.path.exists(f"{args.out}/train.json")
     rng = np.random.default_rng(0)
     os.makedirs(f"{args.out}/imgs", exist_ok=True)
-    gt_xyz, gt_feats = make_gt_scene(rng)
+    if args.reference_regime:
+        # detailed enough that the optimum genuinely wants several hundred
+        # thousand splats at 896x512 (fine color texture inside clusters)
+        gt_xyz, gt_feats = make_gt_scene(
+            rng, n_clusters=600, pts_per_cluster=300, spread=2.6)
+    else:
+        gt_xyz, gt_feats = make_gt_scene(rng)
     n = gt_xyz.shape[0]
     print(f"GT scene: {n} gaussians", flush=True)
 
-    cams = ring_cameras(args.views, hw=args.hw)
+    if width is None:
+        width = args.hw
+    cams = ring_cameras(args.views, hw=args.hw, w=width)
     rcfg = RasterizerConfig(
-        tile_size=32, key_cap=2**19,
+        tile_size=32, key_cap=2**21 if args.reference_regime else 2**19,
         interpret=jax.devices()[0].platform == "cpu",
     )
-    camera = Camera(K=jnp.asarray(cams[0][1]), width=args.hw, height=args.hw)
+    camera = Camera(K=jnp.asarray(cams[0][1]), width=width, height=args.hw)
     invalid = jnp.zeros((n,), bool)
 
     @jax.jit
@@ -136,7 +179,7 @@ def main():
             "image_path": path,
             "T_pointcloud_camera": T.tolist(),
             "camera_intrinsics": K.tolist(),
-            "camera_height": args.hw, "camera_width": args.hw,
+            "camera_height": args.hw, "camera_width": width,
             "camera_id": 0,
         })
     if not have_dataset:
@@ -158,7 +201,8 @@ def main():
         json.dump(val, open(f"{args.out}/val.json", "w"))
 
     # noisy subsampled init (mimic COLMAP sparse points)
-    sel = rng.choice(n, n // 8, replace=False)
+    init_frac = 4 if args.reference_regime else 8
+    sel = rng.choice(n, n // init_frac, replace=False)
     if have_dataset:
         sel = sel[:0]  # keep existing parquet
     init_pts = gt_xyz[sel] + rng.normal(0, 0.05, (len(sel), 3))
@@ -215,7 +259,45 @@ def main():
         "pose_learning_rate": 1e-3,
         "pose_refinement_warm_up": 300,
     }
-    if args.long:
+    if args.reference_regime:
+        # mirror config/tat_truck_every_8_test.yaml +
+        # GaussianPointTrainer.py:33-63 defaults, value for value
+        cfg.update({
+            "initial_downsample_factor": 4,
+            "half_downsample_factor_interval": 250,
+            "increase_color_max_sh_band_interval": 1000,
+            "val_interval": 1000,
+            "feature_learning_rate": 0.005,
+            "position_learning_rate": 0.00005,
+            "position_learning_rate_decay_rate": 0.9947,
+            "position_learning_rate_decay_interval": 100,
+            "log_metrics_interval": 100,
+        })
+        cfg["rasterisation_config"].update({"key_cap": 2 ** 19})
+        cfg["adaptive_controller_config"].update({
+            "num_iterations_warm_up": 1000,
+            "num_iterations_densify": 100,
+            "densification_view_space_position_gradients_threshold": 3e-6,
+            "gaussian_split_factor_phi": 1.6,
+            "num_iterations_reset_alpha": 4000,
+            "reset_alpha_value": -1.9,
+            "transparent_alpha_threshold": -2.0,
+            "iteration_start_remove_floater": 2000,
+            # the reference thresholds are absolute pixel counts at
+            # ~980x546; scale to the 896x512 frame area
+            "floater_num_pixels_threshold": 343_000,
+            "floater_near_camrea_num_pixels_threshold": 257_000,
+            "under_reconstructed_num_pixels_threshold": 32,
+            "under_reconstructed_move_factor": 10.0,
+        })
+        cfg["gaussian_point_cloud_scene_config"].update({
+            # ~55k init rows (45k COLMAP-like + 10k sky sphere) x 9 =
+            # ~497k capacity >= the published 428,687-point checkpoint
+            "max_num_points_ratio": 9.0,
+            "add_sphere": True,
+            "initial_alpha": 0.05,
+        })
+    elif args.long:
         # the 30k-style schedule, every trainer cadence live: progressive
         # downsample from 4x at 512px, SH band ramp to 3, alpha resets
         # (reference: every 3000), floater removal after 2000, and a pool

@@ -236,8 +236,10 @@ window.onmousemove=e=>{if(!drag)return;
 </script></body></html>"""
 
 
-def serve(vis: GaussianPointVisualizer, port: int,
-          host: str = "127.0.0.1") -> None:
+def make_server(vis: GaussianPointVisualizer, port: int,
+                host: str = "127.0.0.1") -> ThreadingHTTPServer:
+    """Build the HTTP server (port 0 = ephemeral; tests bind that way and
+    read the actual port from ``server.server_address``)."""
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
             pass
@@ -268,8 +270,14 @@ def serve(vis: GaussianPointVisualizer, port: int,
     # loopback by default: the server exposes unauthenticated scene
     # control/render; reach it over SSH port-forwarding, or opt in to a
     # wider bind with --host
-    server = ThreadingHTTPServer((host, port), Handler)
-    print(f"viewer at http://localhost:{port}/ (bound to {host})")
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve(vis: GaussianPointVisualizer, port: int,
+          host: str = "127.0.0.1") -> None:
+    server = make_server(vis, port, host)
+    print(f"viewer at http://localhost:{server.server_address[1]}/ "
+          f"(bound to {host})")
     server.serve_forever()
 
 

@@ -542,8 +542,10 @@ def _backward_sub(run, lo, f, xy, mono, g, cfin, g_cfin,
         # Moments: (8, chunk) = mono^T @ de — every pixel-reduction the
         # per-key gradients need, in one MXU op (K=PX, f32 HIGHEST: the
         # central-moment algebra below cancels Sxx against u^2 S1, which
-        # amplifies any per-term rounding ~1000x — 3-pass Dekker measured
-        # 5e-3 absolute errors on the CPU oracle gate, 10x its atol).
+        # amplifies any per-term rounding ~1000x — the rejected rhs-only
+        # 3-term Dekker variant measured 5e-3 absolute errors on the CPU
+        # oracle gate, 10x its atol; the _dot_dekker3 scheme used
+        # elsewhere was not attempted here for the same reason).
         De = jax.lax.dot_general(
             mono, de, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=HIGHEST,
@@ -568,7 +570,8 @@ def _backward_sub(run, lo, f, xy, mono, g, cfin, g_cfin,
         d_cc = -0.5 * Sdy2
         d_logop = S1
 
-        # d_color rows: (3, chunk) = g^T @ w (K=PX, 3-pass Dekker f32)
+        # d_color rows: (3, chunk) = g^T @ w (K=PX, 2-term dual-operand
+        # Dekker in one stacked bf16 pass — _dot_dekker3)
         dcol = _dot_dekker3(
             g, w, (((0,), (0,)), ((), ())),
         )

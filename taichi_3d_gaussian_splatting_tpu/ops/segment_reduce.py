@@ -195,6 +195,11 @@ def segment_reduce(
         # the pad lanes are zero and outside every segment
         rows = jnp.pad(rows, ((0, 0), (0, win - cols % win)))
         cols = rows.shape[1]
+    # exactness precondition for the f32 bounds/iota below: fail loudly
+    # instead of silently corrupting membership intervals (mirrors
+    # bucket_histogram's guard; fit_key_cap is otherwise unbounded)
+    assert cols < 2 ** 24, (
+        f"segment_reduce: {cols} key lanes exceed the f32-exact bound 2^24")
     n = offsets.shape[0]
     pb = min(POINT_BLOCK, max(((n + 127) // 128) * 128, 128))
     nb = (n + pb - 1) // pb

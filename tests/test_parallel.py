@@ -586,7 +586,7 @@ class TestTPTrainStep:
         np.testing.assert_allclose(
             np.asarray(st2.num_affected_pixels),
             np.asarray(st1.num_affected_pixels), atol=0)
-        # atol floor: the blend kernels' 3-pass Dekker color/acc matmuls
+        # atol floor: the blend kernels' stacked-Dekker color/acc matmuls
         # (blend_pallas._dot_dekker3) reassociate differently under the
         # band split — ~6e-10 absolute on near-zero grads (r4)
         np.testing.assert_allclose(
