@@ -234,9 +234,10 @@ def _forward_kernel(
     out_ref,
     # scratch
     tab_ref, acc_ref, t_ref, sem,
-    *, tile_w: int, tile_h: int, rgb_only: bool, chunk: int,
+    *, tile_w: int, tile_h: int, rgb_only: bool, chunk: int, strips: int,
 ):
     px_count = tile_w * tile_h
+    spx = px_count // strips  # pixels per strip (contiguous tile rows)
     t = pl.program_id(0)
     # ranges are unaligned; DMA windows start at the enclosing chunk
     # boundary (the hint lets Mosaic prove lane alignment) and lane masks
@@ -270,11 +271,18 @@ def _forward_kernel(
     def body(f, carry):
         # double-buffered: the next window streams while this one computes.
         # `inflight` = a DMA for window f was started (it must be waited
-        # even if blending saturated meanwhile); `active` = still blending
-        # (the end-of-window saturation check folds into this carry — a
-        # separate per-window (PX, 1) max-reduce gate measured ~8% of the
-        # whole forward at bench shapes, the round-3 regression).
-        inflight, active = carry
+        # even if blending saturated meanwhile); carry[1:] = per-STRIP
+        # still-blending flags (the end-of-window saturation check folds
+        # into these carries — a separate per-window (PX, 1) max-reduce
+        # gate measured ~8% of the whole forward at bench shapes, the
+        # round-3 regression). Strip-granular termination: pixels of a
+        # saturated strip contribute exactly nothing (w = 0 under the
+        # sticky T < 1e-4 mask), so skipping its whole compute block is
+        # output-identical while tiles whose rows saturate at different
+        # depths stop paying for the finished rows.
+        inflight = carry[0]
+        s_act = carry[1:]
+        active = functools.reduce(jnp.logical_or, s_act)
 
         @pl.when(inflight)
         def _():
@@ -284,41 +292,52 @@ def _forward_kernel(
         def _():
             get_dma((f + 1) % 2, f + 1).start()
 
-        @pl.when(active)
-        def _():
-            lo = base + f * chunk
-            tab = tab_ref[f % 2]
-            t_run = t_ref[:, 0:1]
-            alpha_u, a, om, p_incl, t_excl, include, w, _, _ = (
-                _chunk_state(tab, xy, start - lo, end - lo, t_run,
-                             rgb_only=rgb_only))
-            acc = _dot_dekker3(
-                w, tab[6:10, :], (((1,), (1,)), ((), ())),
-            )  # (PX, 4): [sum w*r, w*g, w*b, w*depth]
-            acc_ref[:, 0:4] = acc_ref[:, 0:4] + acc
-            t_ref[:, 0:1] = p_incl[:, chunk - 1 : chunk]
-            if not rgb_only:
-                # depth normalizer, per-pixel blend count and the
-                # reported transmittance: only the full path consumes
-                # them (reference K6's rgb_only template flag skips
-                # them too)
-                w_sum = jnp.sum(w, axis=1, keepdims=True)
-                cnt = jnp.sum(include.astype(jnp.float32), axis=1,
-                              keepdims=True)
-                acc_ref[:, 4:5] = acc_ref[:, 4:5] + w_sum
-                acc_ref[:, 5:6] = acc_ref[:, 5:6] + cnt
-                t_fin = jnp.min(
-                    jnp.where(include, p_incl, jnp.float32(2.0)), axis=1,
-                    keepdims=True,
-                )
-                t_ref[:, 1:2] = jnp.minimum(t_ref[:, 1:2], t_fin)
+        for s in range(strips):
+            lo_px, hi_px = s * spx, (s + 1) * spx
 
-        saturated = jnp.max(t_ref[:, 0:1]) < T_SATURATION_EPS
+            @pl.when(s_act[s])
+            def _(lo_px=lo_px, hi_px=hi_px):
+                lo = base + f * chunk
+                tab = tab_ref[f % 2]
+                t_run = t_ref[lo_px:hi_px, 0:1]
+                xy_s = (xy[0][lo_px:hi_px], xy[1][lo_px:hi_px])
+                alpha_u, a, om, p_incl, t_excl, include, w, _, _ = (
+                    _chunk_state(tab, xy_s, start - lo, end - lo, t_run,
+                                 rgb_only=rgb_only))
+                acc = _dot_dekker3(
+                    w, tab[6:10, :], (((1,), (1,)), ((), ())),
+                )  # (spx, 4): [sum w*r, w*g, w*b, w*depth]
+                acc_ref[lo_px:hi_px, 0:4] = acc_ref[lo_px:hi_px, 0:4] + acc
+                t_ref[lo_px:hi_px, 0:1] = p_incl[:, chunk - 1 : chunk]
+                if not rgb_only:
+                    # depth normalizer, per-pixel blend count and the
+                    # reported transmittance: only the full path consumes
+                    # them (reference K6's rgb_only template flag skips
+                    # them too)
+                    w_sum = jnp.sum(w, axis=1, keepdims=True)
+                    cnt = jnp.sum(include.astype(jnp.float32), axis=1,
+                                  keepdims=True)
+                    acc_ref[lo_px:hi_px, 4:5] = (
+                        acc_ref[lo_px:hi_px, 4:5] + w_sum)
+                    acc_ref[lo_px:hi_px, 5:6] = (
+                        acc_ref[lo_px:hi_px, 5:6] + cnt)
+                    t_fin = jnp.min(
+                        jnp.where(include, p_incl, jnp.float32(2.0)),
+                        axis=1, keepdims=True,
+                    )
+                    t_ref[lo_px:hi_px, 1:2] = jnp.minimum(
+                        t_ref[lo_px:hi_px, 1:2], t_fin)
+
+        new_act = []
+        for s in range(strips):
+            sat = (jnp.max(t_ref[s * spx:(s + 1) * spx, 0:1])
+                   < T_SATURATION_EPS)
+            new_act.append(
+                jnp.logical_and(s_act[s], jnp.logical_not(sat)))
         next_inflight = jnp.logical_and(active, f + 1 < nf)
-        next_active = jnp.logical_and(active, jnp.logical_not(saturated))
-        return next_inflight, next_active
+        return (next_inflight,) + tuple(new_act)
 
-    jax.lax.fori_loop(0, nf, body, (nf > 0, True))
+    jax.lax.fori_loop(0, nf, body, (nf > 0,) + (True,) * strips)
 
     out = jnp.concatenate(
         [acc_ref[:, 0:6], t_ref[:, 1:2], jnp.zeros((px_count, 1), jnp.float32)],
@@ -332,12 +351,15 @@ def blend_forward(
     tile_start: jnp.ndarray,   # (num_tiles,) int32, CHUNK-aligned
     tile_end: jnp.ndarray,     # (num_tiles,) int32
     *, tile, tiles_x: int, tiles_y: int, rgb_only: bool = False,
-    chunk: int = CHUNK, interpret: bool = False,
+    chunk: int = CHUNK, strips: int = 1, interpret: bool = False,
 ):
     """Returns (num_tiles, tile_w*tile_h, 8) packed per-pixel outputs:
     [r, g, b, depth_weighted_sum, weight_sum, include_count, T_final, 0]
     (rgb_only: only the first three channels are meaningful).
     ``tile``: int (square) or (tile_w, tile_h).
+    ``strips``: saturation-termination granularity — the tile's pixel rows
+    split into this many contiguous strips, each with its own early-exit
+    carry (output-identical at any value; see _forward_kernel).
     """
     from taichi_3d_gaussian_splatting_tpu.ops.tiling import tile_wh
     tile_w, tile_h = tile_wh(tile)
@@ -345,8 +367,11 @@ def blend_forward(
     px_count = tile_w * tile_h
     assert chunk % 128 == 0, "DMA windows must stay lane-aligned"
     assert table.shape[1] % chunk == 0, "cap_pad must be a chunk multiple"
+    assert (strips >= 1 and tile_h % strips == 0
+            and (px_count // strips) % 8 == 0), (
+        f"strips={strips} must divide tile_h with 8-aligned strip rows")
     kernel = functools.partial(_forward_kernel, tile_w=tile_w, tile_h=tile_h,
-                               rgb_only=rgb_only, chunk=chunk)
+                               rgb_only=rgb_only, chunk=chunk, strips=strips)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -385,9 +410,10 @@ def _backward_kernel(
     # outputs
     dtab_hbm, imggrad_ref,
     # scratch
-    tab_ref, drow_ref, carry_ref, rmw_ref, in_sem, out_sem, rmw_sem,
+    tab_ref, drow_ref, carry_ref, rmw_ref, acc_ref, in_sem, out_sem,
+    rmw_sem,
     *, tile_w: int, tile_h: int, extra_info: bool, imggrad: bool,
-    chunk: int,
+    chunk: int, strips: int,
 ):
     px_count = tile_w * tile_h
     t = pl.program_id(0)
@@ -441,14 +467,20 @@ def _backward_kernel(
         ).start()
 
     def body(f, state):
-        # double-buffered in/out: inflight = in-DMA(f) started; active =
-        # still blending. Saturated (idle) windows skip BOTH the drow
-        # write and the out-DMA entirely — the d_table output is aliased
-        # onto a zero-filled buffer, so unwritten windows are already
-        # correct (and window 0, the only one that may carry the previous
-        # tile's tail, always runs: saturation can only flip at f >= 1).
-        # out_even/out_odd track which drow slot has an out-DMA in flight.
-        inflight, active, out_even, out_odd = state
+        # double-buffered in/out: inflight = in-DMA(f) started; state[3:]
+        # = per-STRIP still-blending flags (strip-granular early exit; a
+        # saturated strip's pixels contribute exactly zero to every
+        # gradient — the include mask — so skipping its recompute block is
+        # output-identical). Fully saturated (idle) windows skip BOTH the
+        # drow write and the out-DMA entirely — the d_table output is
+        # aliased onto a zero-filled buffer, so unwritten windows are
+        # already correct (and window 0, the only one that may carry the
+        # previous tile's tail, always runs: saturation can only flip at
+        # f >= 1). out_even/out_odd track which drow slot has an out-DMA
+        # in flight.
+        inflight, out_even, out_odd = state[0], state[1], state[2]
+        s_act = state[3:]
+        active = functools.reduce(jnp.logical_or, s_act)
 
         @pl.when(inflight)
         def _():
@@ -478,24 +510,30 @@ def _backward_kernel(
             jnp.zeros((16, chunk), jnp.float32))
 
         _backward_sub(
-            active, base + f * chunk, f, xy, mono, g,
+            active, s_act, base + f * chunk, f, xy, mono, g,
             cfin, g_cfin, tab_ref, drow_ref, carry_ref, imggrad_ref,
-            start, end, chunk=chunk, extra_info=extra_info,
-            imggrad=imggrad, prev=prev0)
+            acc_ref, start, end, chunk=chunk, strips=strips,
+            extra_info=extra_info, imggrad=imggrad, prev=prev0)
 
         @pl.when(active)
         def _():
             get_out_dma(f % 2, f).start()
 
-        saturated = jnp.max(carry_ref[:, 0:1]) < T_SATURATION_EPS
+        spx = px_count // strips
+        new_act = []
+        for s in range(strips):
+            sat = (jnp.max(carry_ref[s * spx:(s + 1) * spx, 0:1])
+                   < T_SATURATION_EPS)
+            new_act.append(
+                jnp.logical_and(s_act[s], jnp.logical_not(sat)))
         next_inflight = jnp.logical_and(active, f + 1 < nf)
-        next_active = jnp.logical_and(active, jnp.logical_not(saturated))
         out_even2 = jnp.where(f % 2 == 0, active, out_even)
         out_odd2 = jnp.where(f % 2 == 1, active, out_odd)
-        return next_inflight, next_active, out_even2, out_odd2
+        return (next_inflight, out_even2, out_odd2) + tuple(new_act)
 
-    _, _, out_even, out_odd = jax.lax.fori_loop(
-        0, nf, body, (nf > 0, True, False, False))
+    fin = jax.lax.fori_loop(
+        0, nf, body, (nf > 0, False, False) + (True,) * strips)
+    out_even, out_odd = fin[1], fin[2]
 
     # drain the still-inflight out-DMAs (the most recent window on each
     # drow-slot parity; indices clamp to 0 — predicated off when invalid)
@@ -511,45 +549,101 @@ def _backward_kernel(
         get_out_dma(1, last_odd).wait()
 
 
-def _backward_sub(run, lo, f, xy, mono, g, cfin, g_cfin,
-                  tab_ref, drow_ref, carry_ref, imggrad_ref, start, end,
-                  *, chunk: int, extra_info: bool, imggrad: bool = True,
-                  prev=None):
+def _backward_sub(run, s_act, lo, f, xy, mono, g, cfin, g_cfin,
+                  tab_ref, drow_ref, carry_ref, imggrad_ref, acc_ref,
+                  start, end, *, chunk: int, strips: int, extra_info: bool,
+                  imggrad: bool = True, prev=None):
     """One compute window of the backward sweep (see _backward_kernel).
+
+    ``run`` = any strip active (gates the shared zero/finalize work);
+    ``s_act`` = per-strip active flags. Each active strip recomputes its
+    pixel rows' chunk state and accumulates the pixel-reduced rows into
+    ``acc_ref`` (rows 0..7 moments De, 8..10 d_color, 11 |grad_uv| sum,
+    12 affected-pixel count); the per-KEY gradient algebra then runs once
+    on the strip-summed moments — identical math to the single-block form
+    (the moments are plain sums over pixels, reassociated by strip).
 
     ``prev``: thunk whose value this window adds to its own rows when
     writing the out window (the previous tile's tail, or zeros)."""
+    px_count = xy[0].shape[0]
+    spx = px_count // strips
+
+    @pl.when(run)
+    def _():
+        acc_ref[:] = jnp.zeros((16, chunk), jnp.float32)
+
+    for s in range(strips):
+        sl_lo, sl_hi = s * spx, (s + 1) * spx
+
+        @pl.when(s_act[s])
+        def _(sl_lo=sl_lo, sl_hi=sl_hi):
+            tab = tab_ref[f % 2]
+            xy_s = (xy[0][sl_lo:sl_hi], xy[1][sl_lo:sl_hi])
+            g_s = g[sl_lo:sl_hi]
+            t_run = carry_ref[sl_lo:sl_hi, 0:1]
+            ga_prev = carry_ref[sl_lo:sl_hi, 1:2]
+            alpha_u, a, om, p_incl, t_excl, include, w, dx, dy = (
+                _chunk_state(tab, xy_s, start - lo, end - lo, t_run))
+            # g.c per (pixel, key): 3 broadcast FMAs on the VPU (K=3 is a
+            # degenerate MXU contraction; depth never backpropagates, so
+            # no 4th channel rides — reference semantics, :1025-1163)
+            gc = (g_s[:, 0:1] * tab[6:7, :] + g_s[:, 1:2] * tab[7:8, :]
+                  + g_s[:, 2:3] * tab[8:9, :])
+            gcw = gc * w
+            ga = ga_prev + _cumsum_mxu(gcw)  # inclusive prefix on MXU
+            s_after = g_cfin[sl_lo:sl_hi] - ga
+            dalpha = jnp.where(include, gc * t_excl - s_after / om, 0.0)
+            de = dalpha * alpha_u  # dL/d_exponent, (spx, chunk)
+
+            # Moments: (8, chunk) = mono^T @ de — every pixel-reduction
+            # the per-key gradients need, in one MXU op (K=spx, f32
+            # HIGHEST: the central-moment algebra downstream cancels Sxx
+            # against u^2 S1, which amplifies any per-term rounding
+            # ~1000x — the rejected rhs-only 3-term Dekker variant
+            # measured 5e-3 absolute errors on the CPU oracle gate, 10x
+            # its atol; the _dot_dekker3 scheme used elsewhere was not
+            # attempted here for the same reason).
+            De = jax.lax.dot_general(
+                mono[sl_lo:sl_hi], de, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=HIGHEST,
+            )
+            # d_color rows: (3, chunk) = g^T @ w (K=spx, 2-term
+            # dual-operand Dekker in one stacked bf16 pass — _dot_dekker3)
+            dcol = _dot_dekker3(
+                g_s, w, (((0,), (0,)), ((), ())),
+            )
+            acc_ref[0:8, :] = acc_ref[0:8, :] + De
+            acc_ref[8:11, :] = acc_ref[8:11, :] + dcol
+
+            if extra_info:
+                ca = tab[2:3, :]
+                cb = tab[3:4, :]
+                cc = tab[4:5, :]
+                # per-(pixel, key) viewspace grads, directly from dx/dy
+                gx = de * (ca * dx + cb * dy)
+                gy = de * (cb * dx + cc * dy)
+                mag = jnp.sqrt(gx * gx + gy * gy)    # (spx, chunk)
+                acc_ref[11:12, :] = acc_ref[11:12, :] + jnp.sum(
+                    mag, axis=0, keepdims=True)
+                acc_ref[12:13, :] = acc_ref[12:13, :] + jnp.sum(
+                    include.astype(jnp.float32), axis=0, keepdims=True)
+                if imggrad:
+                    # per-pixel |grad_uv| image — a TB diagnostic only
+                    # (reference :692-696); skipped in the training hot
+                    # path
+                    imggrad_ref[0, sl_lo:sl_hi] = (
+                        imggrad_ref[0, sl_lo:sl_hi] + jnp.concatenate(
+                            [jnp.sum(jnp.abs(gx), axis=1, keepdims=True),
+                             jnp.sum(jnp.abs(gy), axis=1, keepdims=True)],
+                            axis=1))
+
+            carry_ref[sl_lo:sl_hi, 0:1] = p_incl[:, chunk - 1 : chunk]
+            carry_ref[sl_lo:sl_hi, 1:2] = ga[:, chunk - 1 : chunk]
 
     @pl.when(run)
     def _():
         tab = tab_ref[f % 2]
-        t_run = carry_ref[:, 0:1]
-        ga_prev = carry_ref[:, 1:2]
-        alpha_u, a, om, p_incl, t_excl, include, w, dx, dy = _chunk_state(
-            tab, xy, start - lo, end - lo, t_run
-        )
-        # g.c per (pixel, key): 3 broadcast FMAs on the VPU (K=3 is a
-        # degenerate MXU contraction; depth never backpropagates, so no
-        # 4th channel rides — reference semantics, :1025-1163)
-        gc = (g[:, 0:1] * tab[6:7, :] + g[:, 1:2] * tab[7:8, :]
-              + g[:, 2:3] * tab[8:9, :])
-        gcw = gc * w
-        ga = ga_prev + _cumsum_mxu(gcw)  # inclusive prefix on MXU
-        s_after = g_cfin - ga
-        dalpha = jnp.where(include, gc * t_excl - s_after / om, 0.0)
-        de = dalpha * alpha_u  # dL/d_exponent, (PX, chunk)
-
-        # Moments: (8, chunk) = mono^T @ de — every pixel-reduction the
-        # per-key gradients need, in one MXU op (K=PX, f32 HIGHEST: the
-        # central-moment algebra below cancels Sxx against u^2 S1, which
-        # amplifies any per-term rounding ~1000x — the rejected rhs-only
-        # 3-term Dekker variant measured 5e-3 absolute errors on the CPU
-        # oracle gate, 10x its atol; the _dot_dekker3 scheme used
-        # elsewhere was not attempted here for the same reason).
-        De = jax.lax.dot_general(
-            mono, de, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=HIGHEST,
-        )
+        De = acc_ref[0:8, :]
         Sxx, Syy, Sxy = De[0:1, :], De[1:2, :], De[2:3, :]
         Su, Sv, S1 = De[3:4, :], De[4:5, :], De[5:6, :]
         u = tab[0:1, :]
@@ -569,31 +663,9 @@ def _backward_sub(run, lo, f, xy, mono, g, cfin, g_cfin,
         d_cb = -Sdxy
         d_cc = -0.5 * Sdy2
         d_logop = S1
-
-        # d_color rows: (3, chunk) = g^T @ w (K=PX, 2-term dual-operand
-        # Dekker in one stacked bf16 pass — _dot_dekker3)
-        dcol = _dot_dekker3(
-            g, w, (((0,), (0,)), ((), ())),
-        )
-
-        if extra_info:
-            # per-(pixel, key) viewspace grads, directly from dx/dy
-            gx = de * (ca * dx + cb * dy)
-            gy = de * (cb * dx + cc * dy)
-            mag = jnp.sqrt(gx * gx + gy * gy)        # (PX, chunk)
-            mag_per_key = jnp.sum(mag, axis=0, keepdims=True)  # (1, chunk)
-            npix = jnp.sum(include.astype(jnp.float32), axis=0,
-                           keepdims=True)
-            if imggrad:
-                # per-pixel |grad_uv| image — a TB diagnostic only
-                # (reference :692-696); skipped in the training hot path
-                imggrad_ref[0] = imggrad_ref[0] + jnp.concatenate(
-                    [jnp.sum(jnp.abs(gx), axis=1, keepdims=True),
-                     jnp.sum(jnp.abs(gy), axis=1, keepdims=True)], axis=1,
-                )
-        else:
-            mag_per_key = jnp.zeros((1, chunk), jnp.float32)
-            npix = jnp.zeros((1, chunk), jnp.float32)
+        dcol = acc_ref[8:11, :]
+        mag_per_key = acc_ref[11:12, :]
+        npix = acc_ref[12:13, :]
 
         zrow = jnp.zeros((1, chunk), jnp.float32)
         drows = jnp.concatenate(
@@ -610,9 +682,6 @@ def _backward_sub(run, lo, f, xy, mono, g, cfin, g_cfin,
         ours = jnp.where(mask16, drows, 0.0)
         drow_ref[f % 2] = ours + prev()
 
-        carry_ref[:, 0:1] = p_incl[:, chunk - 1 : chunk]
-        carry_ref[:, 1:2] = ga[:, chunk - 1 : chunk]
-
 
 def blend_backward(
     table: jnp.ndarray,        # (16, cap_pad)
@@ -622,9 +691,12 @@ def blend_backward(
     cfin_tiles: jnp.ndarray,   # (num_tiles, px, 3) forward rgb output
     *, tile, tiles_x: int, tiles_y: int, extra_info: bool = True,
     imggrad: bool = True,
-    chunk: int = CHUNK, interpret: bool = False,
+    chunk: int = CHUNK, strips: int = 1, interpret: bool = False,
 ):
     """Returns (d_table (16, cap_pad), |grad_uv| image (num_tiles, px, 2)).
+    ``strips``: per-strip saturation-termination granularity (see
+    blend_forward); gradients are bitwise-unchanged except for the
+    strip-blocked reassociation of the pixel-sum moments.
 
     The d_table output is ALIASED onto a zero-filled input, so lanes the
     sweep never writes (beyond the last tile's aligned window chain) are
@@ -639,10 +711,13 @@ def blend_backward(
     dtab_init = jnp.zeros((16, cap_pad), jnp.float32)
     assert chunk % 128 == 0, "DMA windows must stay lane-aligned"
     assert table.shape[1] % chunk == 0, "cap_pad must be a chunk multiple"
+    assert (strips >= 1 and tile_h % strips == 0
+            and (px_count // strips) % 8 == 0), (
+        f"strips={strips} must divide tile_h with 8-aligned strip rows")
     kernel = functools.partial(_backward_kernel, tile_w=tile_w, tile_h=tile_h,
                                extra_info=extra_info,
                                imggrad=extra_info and imggrad,
-                               chunk=chunk)
+                               chunk=chunk, strips=strips)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -664,6 +739,7 @@ def blend_backward(
             pltpu.VMEM((2, 16, chunk), jnp.float32),  # out double buffer
             pltpu.VMEM((px_count, 8), jnp.float32),
             pltpu.VMEM((16, chunk), jnp.float32),     # shared-window RMW
+            pltpu.VMEM((16, chunk), jnp.float32),     # strip-sum moments
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),

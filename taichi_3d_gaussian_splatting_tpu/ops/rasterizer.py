@@ -86,6 +86,13 @@ class RasterizerConfig:
     blend_chunk: int = 128       # key lanes per blend-kernel compute
                                  # sub-chunk (multiple of 128; wider chunks
                                  # pay quadratic MXU cumsum width)
+    blend_strips: int = 1        # saturation-termination granularity: the
+                                 # tile's pixel rows split into this many
+                                 # strips, each carrying its own early-exit
+                                 # flag (output-identical; strips that
+                                 # saturate early stop paying pair work
+                                 # while deeper rows continue). Must divide
+                                 # tile height with 8-aligned strip rows.
     candidate_mode: str = "partition"  # "partition": N-length sort packs
                                  # key owners into a prefix (robust at any
                                  # visibility density); "direct": skip that
@@ -94,6 +101,11 @@ class RasterizerConfig:
                                  # TileKeys.cand_scale_req or surplus keys
                                  # drop)
     cand_scale: int = 1          # direct-mode candidate window multiplier
+    pack_sort_colors: bool = False  # rgb_only inference opt-in: r and g
+                                 # ride the key sort as one bf16 pair
+                                 # (<= 2^-9 color rounding, under display
+                                 # quantization; fails the 1e-4 oracle
+                                 # gates by design, so never a default)
     interpret: bool = False      # run Pallas kernels in interpreter mode
     cull_pad_v_tiles: Optional[int] = None  # vertical cull pad override
                                  # (tile ROWS of tile_h px); band-sharded
@@ -201,7 +213,7 @@ def _blend_core_fwd(raw: RawAttrs, table: jnp.ndarray, keys: tiling.TileKeys,
         table, keys.tile_start, keys.tile_end,
         tile=tile, tiles_x=tiles_x, tiles_y=tiles_y,
         rgb_only=cfg.rgb_only or cfg.slim,
-        chunk=cfg.blend_chunk,
+        chunk=cfg.blend_chunk, strips=cfg.blend_strips,
         interpret=cfg.interpret,
     )
     residuals = (raw, keys, table, out_tiles)
@@ -231,7 +243,8 @@ def _blend_bwd_impl(raw, keys, table, out_tiles, d_rgb_tiles, tile, grid_hw,
         # training path skips (its kernel accumulate + image transpose
         # cost ~1 ms/step; nothing in the hot loop consumes it)
         imggrad=not cfg.slim,
-        chunk=cfg.blend_chunk, interpret=cfg.interpret,
+        chunk=cfg.blend_chunk, strips=cfg.blend_strips,
+        interpret=cfg.interpret,
     )
 
     # tile-layout order -> original-key order, realized as one
@@ -358,6 +371,7 @@ def build_keys(raw: RawAttrs, radius, invalid_mask, camera: Camera,
         rgb_only=cfg.rgb_only, slim=cfg.slim,
         exact_tile_cull=cfg.exact_tile_cull,
         candidate_mode=cfg.candidate_mode, cand_scale=cfg.cand_scale,
+        pack_colors=cfg.pack_sort_colors,
         interpret=cfg.interpret,
     )
     return keys, table, visible

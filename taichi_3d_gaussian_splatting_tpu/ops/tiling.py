@@ -184,6 +184,7 @@ def build_tile_keys_and_table(
     exact_tile_cull: bool = True,
     candidate_mode: str = "partition",
     cand_scale: int = 1,
+    pack_colors: bool = False,
     interpret: bool = False,
 ) -> Tuple[TileKeys, Optional[jnp.ndarray]]:
     """Expand visible splats into depth-sorted per-tile keys, and (when
@@ -384,16 +385,34 @@ def build_tile_keys_and_table(
         # original-slot permutation only feeds the backward regroup, so it
         # rides only when gradients are possible (not rgb_only).
         slot_payload = () if rgb_only else (slot,)
-        operands = (fused,) + slot_payload + tuple(
-            tbl[i] for i in range(n_attr))
+        ride = [tbl[i] for i in range(n_attr)]
+        # pack_colors (inference-only): the r and g rows ride the sort as
+        # ONE bf16-pair carrier (ops/packing.py), cutting the dominant
+        # operand bytes by one row. bf16 rounds colors by <= 2^-9 relative
+        # — under the 1/255 display quantization but NOT under the 1e-4
+        # oracle gates, so this stays an opt-in for rgb_only rendering
+        # (packing happens on per-KEY rows AFTER expansion: the expand
+        # kernel's Dekker one-hot matmul must see plain f32, a packed bit
+        # pattern would not survive its bf16 3-term split).
+        packed = pack_colors and rgb_only
+        if packed:
+            from taichi_3d_gaussian_splatting_tpu.ops import packing
+            ride = ride[:6] + [
+                packing.pack_bf16_pair_rne(ride[6], ride[7]), ride[8]]
+        operands = (fused,) + slot_payload + tuple(ride)
         sorted_ops = jax.lax.sort(operands, num_keys=1, is_stable=True)
         fused_s = sorted_ops[0]
         orig_s = None if rgb_only else sorted_ops[1]
         attr0 = 1 if rgb_only else 2
         pidx_s = None
+        srows = list(sorted_ops[attr0:])
+        if packed:
+            from taichi_3d_gaussian_splatting_tpu.ops import packing
+            r_s, g_s = packing.unpack_bf16_pair(srows[6])
+            srows = srows[:6] + [r_s, g_s, srows[7]]
         zeros = jnp.zeros((16 - n_attr, key_cap), jnp.float32)
         table = jnp.concatenate(
-            [jnp.stack(sorted_ops[attr0:attr0 + n_attr], axis=0), zeros],
+            [jnp.stack(srows, axis=0), zeros],
             axis=0,
         )  # (16, key_cap): rows 0..n_attr-1 attrs, rest zero
     else:

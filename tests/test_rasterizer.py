@@ -541,3 +541,117 @@ class TestRgbOnly:
         assert np.all(np.asarray(fast.alpha) == 0.0)
         assert np.all(np.asarray(fast.depth) == 0.0)
         assert np.all(np.asarray(fast.count) == 0.0)
+
+
+class TestBlendStrips:
+    """Strip-granular saturation termination (blend_strips > 1) must be
+    output-identical: a saturated strip's pixels all carry the sticky
+    T < 1e-4 mask, so every skipped contribution is exactly zero."""
+
+    def test_forward_bitwise_identical_across_strips(self):
+        import dataclasses as dc
+        xyz, feats, invalid = make_scene(300, seed=11)
+        cam = make_camera(w=64, h=64)
+        base = rasterize(xyz, feats, invalid, Q_ID, T_ID, cam, CFG)
+        for strips in (2, 4):
+            cfg = dc.replace(CFG, blend_strips=strips)
+            out = rasterize(xyz, feats, invalid, Q_ID, T_ID, cam, cfg)
+            np.testing.assert_array_equal(
+                np.asarray(out.rgb), np.asarray(base.rgb))
+            np.testing.assert_array_equal(
+                np.asarray(out.depth), np.asarray(base.depth))
+            np.testing.assert_array_equal(
+                np.asarray(out.count), np.asarray(base.count))
+
+    def test_backward_matches_dense_oracle(self):
+        """Same gradient gate as the strips=1 path: jax.grad of the dense
+        reference renderer (strip-blocked moment sums only reassociate
+        pixel reductions, bounded by f32 rounding)."""
+        import dataclasses as dc
+        xyz, feats, invalid = make_scene(120, seed=13)
+        cam = make_camera(w=64, h=64)
+        cfg = dc.replace(CFG, blend_strips=4)
+        g = jnp.asarray(
+            RNG.uniform(0.1, 1.0, (64, 64, 3)).astype(np.float32))
+
+        def loss_pallas(x, f):
+            out = rasterize(x, f, invalid, Q_ID, T_ID, cam, cfg)
+            return jnp.sum(out.rgb * g)
+
+        def loss_oracle(x, f):
+            rgb, *_ = render_reference(x, f, invalid, Q_ID, T_ID, cam, cfg)
+            return jnp.sum(rgb * g)
+
+        gx, gf = jax.grad(loss_pallas, argnums=(0, 1))(xyz, feats)
+        ox, of = jax.grad(loss_oracle, argnums=(0, 1))(xyz, feats)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(ox),
+                                   atol=5e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(of),
+                                   atol=5e-4, rtol=1e-3)
+
+    def test_backward_stats_match_across_strips(self):
+        import dataclasses as dc
+        from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import (
+            rasterize_bwd, rasterize_fwd_ctx,
+        )
+        xyz, feats, invalid = make_scene(150, seed=17)
+        cam = make_camera(w=64, h=64)
+        g = jnp.ones((64, 64, 3), jnp.float32) * 0.5
+        results = []
+        for strips in (1, 4):
+            cfg = dc.replace(CFG, blend_strips=strips)
+            out, ctx, vjp = rasterize_fwd_ctx(
+                xyz, feats, invalid, Q_ID, T_ID, cam, cfg)
+            (gx, gf), stats = rasterize_bwd(ctx, vjp, g, cam, cfg)
+            results.append((gx, gf, stats))
+        (gx1, gf1, st1), (gx4, gf4, st4) = results
+        np.testing.assert_allclose(np.asarray(gx4), np.asarray(gx1),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gf4), np.asarray(gf1),
+                                   atol=1e-6)
+        # densify stats: npix is a sum of exact 0/1 counts -> bitwise
+        np.testing.assert_array_equal(
+            np.asarray(st4.num_affected_pixels),
+            np.asarray(st1.num_affected_pixels))
+        np.testing.assert_allclose(
+            np.asarray(st4.magnitude_grad_viewspace),
+            np.asarray(st1.magnitude_grad_viewspace), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(st4.magnitude_grad_viewspace_on_image),
+            np.asarray(st1.magnitude_grad_viewspace_on_image), atol=1e-6)
+
+
+class TestPackedSortColors:
+    """pack_sort_colors (rgb_only inference opt-in): r/g ride the key sort
+    as one bf16 pair. The rounding must stay under display quantization —
+    pinned as PSNR >= 55 dB against the unpacked render."""
+
+    def test_packed_render_psnr_vs_unpacked(self):
+        import dataclasses as dc
+        xyz, feats, invalid = make_scene(300, seed=23)
+        cam = make_camera(w=64, h=64)
+        base_cfg = dc.replace(CFG, rgb_only=True)
+        pack_cfg = dc.replace(CFG, rgb_only=True, pack_sort_colors=True)
+        a = np.asarray(rasterize(
+            xyz, feats, invalid, Q_ID, T_ID, cam, base_cfg).rgb)
+        b = np.asarray(rasterize(
+            xyz, feats, invalid, Q_ID, T_ID, cam, pack_cfg).rgb)
+        a, b = np.clip(a, 0, 1), np.clip(b, 0, 1)
+        mse = float(np.mean((a - b) ** 2))
+        psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+        assert psnr >= 55.0, f"packed-color rounding too visible: {psnr:.1f} dB"
+        # and it rounds, not corrupts: worst-case pixel error well under
+        # one 8-bit display step
+        assert np.abs(a - b).max() < 1.5 / 255
+
+    def test_pack_ignored_outside_rgb_only(self):
+        """Training paths must silently keep exact f32 payloads (the knob
+        documents itself as inference-only)."""
+        import dataclasses as dc
+        xyz, feats, invalid = make_scene(120, seed=29)
+        cam = make_camera(w=64, h=64)
+        base = rasterize(xyz, feats, invalid, Q_ID, T_ID, cam, CFG)
+        cfg = dc.replace(CFG, pack_sort_colors=True)
+        out = rasterize(xyz, feats, invalid, Q_ID, T_ID, cam, cfg)
+        np.testing.assert_array_equal(np.asarray(out.rgb),
+                                      np.asarray(base.rgb))
