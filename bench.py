@@ -14,10 +14,18 @@ Baselines:
 - forward: 20.07 ms/frame on an RTX 3090 at 4.6e5 points
   (reference benchmark/README.md:13-17) -> 26.0 Mpix/s. `vs_baseline` is
   the ratio of our forward Mpix/s to that.
-- train step (fwd+bwd+optimizers): the reference publishes no single-GPU
-  training-step time; its cloud CI trains 30k iterations in ~2-3 h on a
-  T4 (README.md:303) => ~300 ms/step. `train_vs_t4_ci` is measured
-  against that rough number and labeled accordingly.
+- train step (fwd+bwd+optimizers): two anchors, both labeled. (a)
+  `train_vs_ref_baseline`: the reference's own checked-in 30k Truck
+  baseline run (logs/tat_truck_every_8_experiment_baseline/scalars.csv,
+  train/loss wall_time deltas) has a median 58.2 ms per training
+  iteration (60.0 ms over the >=15k-iteration half at ~860k points,
+  ~980x546 views, 2193 s total wall) on the local GPU whose val renders
+  take 7.45 ms/frame — the only reference-hardware training rate on
+  record; its wall time includes the controller/logging host work, where
+  ours is the pure scanned device step, so the ratio flatters us
+  somewhat at equal point counts. (b) `train_vs_t4_ci`: the cloud CI
+  trains 30k iterations in ~2-3 h on a T4 (README.md:303) => ~300
+  ms/step (the weaker, older anchor; kept for round continuity).
 
 Prints ONE JSON line with the forward metric as `metric`/`value` and the
 train-step numbers as extra fields.
@@ -53,6 +61,8 @@ REPEATS = 3                 # timed-chain repeats; median reported
 REF_MS = 20.07              # RTX 3090 forward ms/frame (benchmark/README.md)
 REF_MPIX_S = (980 * 546 / 1e6) / (REF_MS / 1e3)
 REF_TRAIN_MS_T4 = 300.0     # ~2.5 h / 30k iters on the T4 cloud CI
+REF_TRAIN_MS_BASELINE = 58.2  # median ms/iter of the reference's checked-in
+                            # 30k Truck baseline (see module docstring)
 
 
 def synthetic_truck_scene(n: int, seed: int = 0):
@@ -220,7 +230,8 @@ def bench_train_step(xyz, feats, camera, rcfg):
 
 
 def bench_scene(scene: str, n_points: int, tile: int, tile_h, skip_train: bool,
-                fwd_frames: int, train_steps: int):
+                fwd_frames: int, train_steps: int,
+                blend_strips: int = 1, pack_colors: bool = False):
     """Measure one scene variant; returns a dict of its numbers."""
     global TIMED_FWD, TIMED_TRAIN
     TIMED_FWD = fwd_frames
@@ -293,6 +304,7 @@ def bench_scene(scene: str, n_points: int, tile: int, tile_h, skip_train: bool,
     fwd_cfg = RasterizerConfig(
         tile_size=tile, tile_h=tile_h, key_cap=cap, interpret=interpret,
         extra_info=False, rgb_only=True,
+        blend_strips=blend_strips, pack_sort_colors=pack_colors,
         candidate_mode="direct" if direct else "partition",
         cand_scale=scale if direct else 1)
     fwd_ms = bench_forward(xyz, feats, invalid, q, t, camera, fwd_cfg)
@@ -315,6 +327,7 @@ def bench_scene(scene: str, n_points: int, tile: int, tile_h, skip_train: bool,
             tile_size=tile, tile_h=tile_h,
             key_cap=fit_key_cap(total),
             interpret=interpret,
+            blend_strips=blend_strips,
             candidate_mode="direct" if direct else "partition",
             cand_scale=scale if direct else 1)
         try:
@@ -322,6 +335,8 @@ def bench_scene(scene: str, n_points: int, tile: int, tile_h, skip_train: bool,
             result.update({
                 "train_step_ms": round(train_ms, 3),
                 "train_mpix_per_s": round(mpix / (train_ms / 1e3), 3),
+                "train_vs_ref_baseline": round(
+                    REF_TRAIN_MS_BASELINE / train_ms, 3),
                 "train_vs_t4_ci": round(REF_TRAIN_MS_T4 / train_ms, 3),
                 "train_timed_steps": TIMED_TRAIN,
             })
@@ -362,6 +377,14 @@ def main():
     ap.add_argument("--train_steps", type=int, default=None,
                     help="timed optimizer steps per scan chain (default "
                     "50; 20 at --points >= 1.5M)")
+    ap.add_argument("--blend_strips", type=int, default=1,
+                    help="per-strip saturation termination granularity in "
+                    "the blend kernels (1 = whole-tile, the r4 behavior; "
+                    "output-identical at any divisor of the tile height)")
+    ap.add_argument("--pack_colors", action="store_true",
+                    help="rgb_only forward only: r/g ride the key sort as "
+                    "one bf16 pair (~2^-9 color rounding, >=55 dB vs f32; "
+                    "the metric name gains a _packed tag)")
     ap.add_argument("--skip_extra_scale", action="store_true",
                     help="skip the 1.03M-point forward-only entries the "
                     "default run appends (official graphdeco 7k-checkpoint "
@@ -374,6 +397,8 @@ def main():
     tile_h = args.tile_h
     th = tile if tile_h is None else tile_h
     tile_tag = "" if (tile, th) == (32, 32) else f"_t{tile}x{th}"
+    if args.pack_colors:
+        tile_tag += "_packed"
 
     # scale-aware defaults (see --help): the 2M bench must be a practical
     # regression tracker, not a patience test (round-3/4 asks)
@@ -389,7 +414,9 @@ def main():
               else (args.scene,))
     per_scene = {
         s: bench_scene(s, n_points, tile, tile_h, args.skip_train,
-                       args.frames, args.train_steps)
+                       args.frames, args.train_steps,
+                       blend_strips=args.blend_strips,
+                       pack_colors=args.pack_colors)
         for s in scenes
     }
 
