@@ -274,6 +274,10 @@ def main():
             "log_metrics_interval": 100,
         })
         cfg["rasterisation_config"].update({"key_cap": 2 ** 19})
+        # 1-core host: fatter device-side windows amortize the per-window
+        # host work (image staging, metric sync) twice as far; 20 divides
+        # the densify/val cadences
+        cfg["steps_per_dispatch"] = 20
         cfg["adaptive_controller_config"].update({
             "num_iterations_warm_up": 1000,
             "num_iterations_densify": 100,

@@ -65,7 +65,8 @@ class ImagePoseDataset:
         "camera_height", "camera_width", "camera_id",
     )
 
-    def __init__(self, dataset_json_path: str, tile_size: int = 32):
+    def __init__(self, dataset_json_path: str, tile_size: int = 32,
+                 cache_mb: int = 4096):
         with open(dataset_json_path) as f:
             records = json.load(f)
         if isinstance(records, dict):  # orient="records" may be dict-of-lists
@@ -76,11 +77,22 @@ class ImagePoseDataset:
             assert col in records[0], f"column {col} is not in the dataset"
         self.records = records
         self.tile_size = tile_size
+        # Decoded-item cache: a 30k-iteration run re-visits each train view
+        # ~270x, and on a 1-core host the PNG decode + crop + /255 is pure
+        # serialized wall time (~15-25 ms per 896x512 view — several
+        # minutes per run). Bounded by ``cache_mb`` (0 disables); the
+        # cached DatasetItem is immutable by convention (consumers never
+        # write into item.image — downsample_item allocates a new array).
+        self._cache: dict = {}
+        self._cache_left = cache_mb * (1 << 20)
 
     def __len__(self) -> int:
         return len(self.records)
 
     def __getitem__(self, idx: int) -> DatasetItem:
+        cached = self._cache.get(idx)
+        if cached is not None:
+            return cached
         rec = self.records[idx]
         T = np.asarray(rec["T_pointcloud_camera"], np.float32).reshape(4, 4)
         q, t = _se3_to_qt(T)
@@ -120,10 +132,17 @@ class ImagePoseDataset:
             camera_intrinsics=K, camera_height=h, camera_width=w,
             camera_id=int(rec["camera_id"]),
         )
-        return DatasetItem(
+        item = DatasetItem(
             image=np.ascontiguousarray(arr), q_pointcloud_camera=q,
             t_pointcloud_camera=t, camera_info=info, index=idx,
         )
+        nbytes = item.image.nbytes
+        if nbytes <= self._cache_left:
+            # benign under concurrent decodes (GIL-atomic dict store; a
+            # double decode just wastes one budget line)
+            self._cache[idx] = item
+            self._cache_left -= nbytes
+        return item
 
 
 class PrefetchLoader:
