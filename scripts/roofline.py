@@ -85,7 +85,10 @@ def row(name, ms, bytes_moved, mxu_flops=None):
 
 
 def main():
-    from bench import synthetic_truck_scene  # same scene as the driver bench
+    import argparse
+    from bench import (  # same scenes as the driver bench
+        synthetic_truck_scene, synthetic_truck_scene_surround,
+    )
     from taichi_3d_gaussian_splatting_tpu.ops import blend_pallas, tiling
     from taichi_3d_gaussian_splatting_tpu.ops.rasterizer import (
         Camera, RasterizerConfig, build_keys, compute_raw_attrs, rasterize,
@@ -95,16 +98,30 @@ def main():
     )
     from taichi_3d_gaussian_splatting_tpu.training.trainer import fit_key_cap
 
-    n = 428_687
+    global ITERS
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", type=int, default=428_687)
+    ap.add_argument("--scene", choices=("surround", "allvis"),
+                    default="allvis",
+                    help="allvis = the round-2 attribution protocol")
+    ap.add_argument("--blend_strips", type=int, default=1)
+    ap.add_argument("--iters", type=int, default=ITERS)
+    args = ap.parse_args()
+    ITERS = args.iters
+
+    n = args.points
     h, w = 544, 960
     cam = Camera(
         K=jnp.asarray([[580.0, 0, w / 2], [0, 580.0, h / 2], [0, 0, 1]],
                       jnp.float32), width=w, height=h)
-    xyz, feats = synthetic_truck_scene(n)
+    if args.scene == "surround":
+        xyz, feats = synthetic_truck_scene_surround(n)
+    else:
+        xyz, feats = synthetic_truck_scene(n)
     invalid = jnp.zeros((n,), bool)
     print("devices:", jax.devices(), flush=True)
 
-    cfg0 = RasterizerConfig(tile_size=32, key_cap=2 ** 21, interpret=False,
+    cfg0 = RasterizerConfig(tile_size=32, key_cap=2 ** 22, interpret=False,
                             extra_info=False)
     raw, radius = jax.jit(
         lambda x, f: compute_raw_attrs(x, f, Q_ID, T_ID, cam))(xyz, feats)
@@ -163,7 +180,8 @@ def main():
     ms = bench_injit(
         functools.partial(blend_pallas.blend_forward, tile=32,
                           tiles_x=tiles_x, tiles_y=tiles_y,
-                          chunk=cfg.blend_chunk),
+                          chunk=cfg.blend_chunk,
+                          strips=args.blend_strips),
         0, table, keys.tile_start, keys.tile_end)
     blend_bytes = live * 12 * 4 + num_tiles * px * 8 * 4
     mxu_flops = 2.0 * pairs * cfg.blend_chunk
@@ -171,14 +189,16 @@ def main():
 
     out_tiles = jax.jit(functools.partial(
         blend_pallas.blend_forward, tile=32, tiles_x=tiles_x,
-        tiles_y=tiles_y, chunk=cfg.blend_chunk))(
+        tiles_y=tiles_y, chunk=cfg.blend_chunk,
+        strips=args.blend_strips))(
             table, keys.tile_start, keys.tile_end)
     g3 = jnp.ones((num_tiles, px, 3), jnp.float32)
     cfin = out_tiles[..., 0:3]
     ms = bench_injit(
         functools.partial(blend_pallas.blend_backward, tile=32,
                           tiles_x=tiles_x, tiles_y=tiles_y, extra_info=False,
-                          chunk=cfg.blend_chunk),
+                          chunk=cfg.blend_chunk,
+                          strips=args.blend_strips),
         0, table, keys.tile_start, keys.tile_end, g3, cfin)
     # bwd reads table + g4 + cfin, writes 12 grad rows per cap lane
     bwd_bytes = live * 12 * 4 + 2 * num_tiles * px * 4 * 4 + cap * 12 * 4
@@ -186,7 +206,8 @@ def main():
 
     d_table = jax.jit(functools.partial(
         blend_pallas.blend_backward, tile=32, tiles_x=tiles_x,
-        tiles_y=tiles_y, extra_info=False, chunk=cfg.blend_chunk))(
+        tiles_y=tiles_y, extra_info=False, chunk=cfg.blend_chunk,
+        strips=args.blend_strips))(
             table, keys.tile_start, keys.tile_end, g3, cfin)[0]
 
     def bwd_tail(d_sorted, keys):
