@@ -32,8 +32,15 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def make_gt_scene(rng, n_clusters=40, pts_per_cluster=400, spread=2.0):
-    """Blobby clustered scene with varied color/scale/opacity."""
+def make_gt_scene(rng, n_clusters=40, pts_per_cluster=400, spread=2.0,
+                  scale_range=(-4.2, -3.0), color_noise=0.3):
+    """Blobby clustered scene with varied color/scale/opacity.
+
+    ``scale_range``/``color_noise`` control intrinsic detail: small
+    splats with strong per-point color variance make a target whose
+    optimum genuinely needs hundreds of thousands of reconstruction
+    splats (the reference-regime growth proof), where the default
+    smooth-blob scene converges at ~100k."""
     centers = rng.uniform(-spread, spread, (n_clusters, 3))
     centers[:, 2] = rng.uniform(-spread / 2, spread / 2, n_clusters)
     xyz, feats = [], []
@@ -43,12 +50,12 @@ def make_gt_scene(rng, n_clusters=40, pts_per_cluster=400, spread=2.0):
         f = np.zeros((k, 56), np.float32)
         q = rng.normal(size=(k, 4))
         f[:, 0:4] = q / np.linalg.norm(q, axis=1, keepdims=True)
-        f[:, 4:7] = rng.uniform(-4.2, -3.0, (k, 3))
+        f[:, 4:7] = rng.uniform(*scale_range, (k, 3))
         f[:, 7] = rng.uniform(0.0, 4.0, k)
         base = rng.uniform(-2.5, 2.5, 3)
-        f[:, 8] = base[0] + rng.normal(0, 0.3, k)
-        f[:, 24] = base[1] + rng.normal(0, 0.3, k)
-        f[:, 40] = base[2] + rng.normal(0, 0.3, k)
+        f[:, 8] = base[0] + rng.normal(0, color_noise, k)
+        f[:, 24] = base[1] + rng.normal(0, color_noise, k)
+        f[:, 40] = base[2] + rng.normal(0, color_noise, k)
         # mild view dependence on band 1
         f[:, 9:12] = rng.normal(0, 0.1, (k, 3))
         xyz.append(p)
@@ -142,9 +149,13 @@ def main():
     os.makedirs(f"{args.out}/imgs", exist_ok=True)
     if args.reference_regime:
         # detailed enough that the optimum genuinely wants several hundred
-        # thousand splats at 896x512 (fine color texture inside clusters)
+        # thousand splats at 896x512: 440k SMALL splats (~1-2.5 px at the
+        # ring-camera depth) with strong per-point color texture. The
+        # first calibration (180k smooth blobs) converged at PSNR 37 with
+        # ~110k points — too easy to drive reference-scale densification.
         gt_xyz, gt_feats = make_gt_scene(
-            rng, n_clusters=600, pts_per_cluster=300, spread=2.6)
+            rng, n_clusters=2000, pts_per_cluster=220, spread=2.6,
+            scale_range=(-4.8, -3.6), color_noise=0.5)
     else:
         gt_xyz, gt_feats = make_gt_scene(rng)
     n = gt_xyz.shape[0]
@@ -201,7 +212,7 @@ def main():
         json.dump(val, open(f"{args.out}/val.json", "w"))
 
     # noisy subsampled init (mimic COLMAP sparse points)
-    init_frac = 4 if args.reference_regime else 8
+    init_frac = 8
     sel = rng.choice(n, n // init_frac, replace=False)
     if have_dataset:
         sel = sel[:0]  # keep existing parquet
@@ -295,9 +306,9 @@ def main():
             "under_reconstructed_move_factor": 10.0,
         })
         cfg["gaussian_point_cloud_scene_config"].update({
-            # ~55k init rows (45k COLMAP-like + 10k sky sphere) x 9 =
-            # ~497k capacity >= the published 428,687-point checkpoint
-            "max_num_points_ratio": 9.0,
+            # ~65k init rows (55k COLMAP-like + 10k sky sphere) x 7.5 =
+            # ~488k capacity >= the published 428,687-point checkpoint
+            "max_num_points_ratio": 7.5,
             "add_sphere": True,
             "initial_alpha": 0.05,
         })
