@@ -132,3 +132,42 @@ def test_train_step_on_chip():
     assert np.isfinite(loss) and loss > 0
     assert np.isfinite(np.asarray(state.scene.features)).all()
     assert float(jnp.max(aux["stats"].magnitude_grad_viewspace)) > 0
+
+
+@requires_tpu
+def test_strips_forward_and_grads_on_chip():
+    """blend_strips=4 compiled on the chip: forward bitwise-equal to the
+    strips=1 compiled output; gradients equal at f32 round-off. (CPU
+    interpret mode already gates semantics; this pins the Mosaic compile
+    of the strip-sliced VMEM accesses + per-strip carries.)"""
+    import dataclasses as dc
+    base = RasterizerConfig(tile_size=32, key_cap=4096, interpret=False)
+    cfg4 = dc.replace(base, blend_strips=4)
+    xyz, feats, invalid = make_scene(300, seed=11)
+    cam = make_camera()
+    out1 = jax.jit(
+        lambda x, f: rasterize(x, f, invalid, Q_ID, T_ID, cam, base)
+    )(xyz, feats)
+    out4 = jax.jit(
+        lambda x, f: rasterize(x, f, invalid, Q_ID, T_ID, cam, cfg4)
+    )(xyz, feats)
+    np.testing.assert_array_equal(np.asarray(out4.rgb), np.asarray(out1.rgb))
+    np.testing.assert_array_equal(np.asarray(out4.count),
+                                  np.asarray(out1.count))
+
+    gproj = jnp.asarray(
+        np.random.default_rng(2).normal(size=(64, 64, 3)).astype(np.float32))
+
+    def loss(cfg):
+        def f(x, ft):
+            o = rasterize(x, ft, invalid, Q_ID, T_ID, cam, cfg)
+            return jnp.sum(o.rgb * gproj)
+        return jax.jit(jax.grad(f, argnums=(0, 1)))(xyz, feats)
+
+    g1 = loss(base)
+    g4 = loss(cfg4)
+    # strip-blocked moment sums only reassociate pixel reductions
+    np.testing.assert_allclose(np.asarray(g4[0]), np.asarray(g1[0]),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g4[1]), np.asarray(g1[1]),
+                               atol=1e-5, rtol=1e-4)
