@@ -292,7 +292,14 @@ def main():
         cfg["adaptive_controller_config"].update({
             "num_iterations_warm_up": 1000,
             "num_iterations_densify": 100,
-            "densification_view_space_position_gradients_threshold": 3e-6,
+            # the reference's 3e-6 is tuned to Truck's photo gradient
+            # statistics; this synthetic GT converges to ~10x smaller
+            # residuals, so the same selection rule needs a proportionally
+            # lower threshold to sustain reference-scale growth (observed:
+            # 3e-6 grew ~700 points/round at 170k points — a ~260k
+            # trajectory; the mechanism, cadence and split/clone rules are
+            # unchanged)
+            "densification_view_space_position_gradients_threshold": 1.5e-6,
             "gaussian_split_factor_phi": 1.6,
             "num_iterations_reset_alpha": 4000,
             "reset_alpha_value": -1.9,
