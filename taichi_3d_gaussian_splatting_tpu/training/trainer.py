@@ -122,6 +122,12 @@ def make_train_step(config: TrainConfig, height: int, width: int,
     pose_refine = config.pose_refinement
 
     def step(state: TrainState, image_gt, q, t, K, sh_band, img_idx=None):
+        if image_gt.dtype == jnp.uint8:
+            # images may be STAGED as uint8 (4x less host->device traffic —
+            # through a remote-TPU tunnel that is ~40 ms/step at 896x512)
+            # and widened on device; exact for 8-bit-sourced data
+            # (u8/255 -> f32 -> *255 -> rint round-trips bitwise)
+            image_gt = image_gt.astype(jnp.float32) * (1.0 / 255.0)
         scene = state.scene
         camera = Camera(K=K, width=width, height=height)
         if pose_refine:
@@ -844,9 +850,16 @@ class GaussianPointCloudTrainer:
                     extra = (jnp.asarray(
                         [pose_idx(it, iteration + d)
                          for d, it in enumerate(items)], jnp.int32),)
+                # stage the window's GT images as uint8: ImagePoseDataset
+                # images are PIL-decoded 8-bit RGB / 255 (dataset.py), so
+                # rint(img*255) is their exact inverse; the step widens
+                # on device (see make_train_step)
+                imgs_u8 = np.rint(
+                    np.stack([it.image for it in items]) * 255.0
+                ).astype(np.uint8)
                 state, metrics_stacked, aux = step(
                     state,
-                    jnp.asarray(np.stack([it.image for it in items])),
+                    jnp.asarray(imgs_u8),
                     jnp.asarray(np.stack(
                         [it.q_pointcloud_camera for it in items])),
                     jnp.asarray(np.stack(
