@@ -299,7 +299,7 @@ def main():
             # 3e-6 grew ~700 points/round at 170k points — a ~260k
             # trajectory; the mechanism, cadence and split/clone rules are
             # unchanged)
-            "densification_view_space_position_gradients_threshold": 1.5e-6,
+            "densification_view_space_position_gradients_threshold": 5e-7,
             "gaussian_split_factor_phi": 1.6,
             "num_iterations_reset_alpha": 4000,
             "reset_alpha_value": -1.9,
